@@ -1,0 +1,425 @@
+"""Sliding-window stereo VO orchestrator, optionally upgraded to SLAM with
+pose-graph loop closure.
+
+Equivalent of the reference VoEstimator
+(``/root/reference/src/VoEstimator.cc``, header ``include/VoEstimator.h``):
+
+- First frame -> origin keyframe (stereo sets metric scale).
+- Per frame: match to last keyframe -> build PointObs (depth on both ends)
+  with landmark-id carry-over -> pose-only LM seeded with the previous pose
+  -> coast on constant velocity when matches < SUPERSLAM_TRACK_MIN_MATCHES
+  -> covisibility keyframe gate -> on keyframe: landmark ids reuse-or-mint,
+  window add + optimize, pose corrected by the window, SparseMap add, seed
+  anchor record, KeyframeMsg to the loop worker.
+- Live pose = (loop-corrected anchor or last KF pose) * rel. Tracking and
+  the window are NEVER rebased; corrections only move the anchors.
+- The loop worker adds the tier-2 node + odometry edge, computes the global
+  descriptor, detects, and on accept adds a loop edge, re-optimizes, and
+  publishes anchors under a lock (only if the rollback did not fire).
+
+The worker runs on a Python thread (the reference's std::thread +
+condvar-deque, ``src/VoEstimator.cc:113-173``): the heavy work inside it is
+JAX/numpy, which releases the GIL.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geometry.se3 import Pose3
+from ..geometry.stereo_camera import StereoCalib
+from ..utils.env import env_float, env_int
+from ..utils.profiler import profile_scope
+from .frame import StereoFrame
+from .frame_tracker import FrameTracker, PointObs
+from .interfaces import FeatureMatcher
+from .keyframe_gate import should_insert_keyframe
+from .keyframes import KeyframeRecord
+from .loop_closer import LoopCloser
+from .pose_graph import GlobalPoseGraph
+from .sparse_map import SparseMap
+from .window_smoother import StereoObs, WindowSmoother
+
+_DEFAULT_WINDOW = 8
+
+
+def _resolve_window_size(cfg: int) -> int:
+    v = os.environ.get("SUPERSLAM_WS_WINDOW")
+    if v is not None:
+        return int(v)
+    return cfg if cfg > 0 else _DEFAULT_WINDOW
+
+
+def _odometry_sigmas() -> np.ndarray:
+    r = env_float("SUPERSLAM_ODOM_ROT_SIGMA", 0.02)
+    t = env_float("SUPERSLAM_ODOM_TRANS_SIGMA", 0.05)
+    return np.array([r, r, r, t, t, t])
+
+
+@dataclass
+class KeyframeMsg:
+    keyframe_id: int = 0
+    previous_keyframe_id: int = 0
+    has_previous: bool = False
+    pose: Pose3 = field(default_factory=Pose3)
+    relative_odometry: Pose3 = field(default_factory=Pose3)
+    record: KeyframeRecord = field(default_factory=KeyframeRecord)
+    left_gray: np.ndarray | None = None
+
+
+class VoEstimator:
+    def __init__(self, matcher: FeatureMatcher, calib: StereoCalib, window_size: int = 0):
+        self.matcher = matcher
+        self.calib = calib
+        self.smoother = WindowSmoother(calib, _resolve_window_size(window_size))
+        self.tracker = FrameTracker(calib)
+
+        self._has_keyframe = False
+        self._last_keyframe_id = 0
+        self._last_keyframe_pose = Pose3()
+        self._previous_frame_pose = Pose3()
+        self._previous_relative = Pose3()  # constant-velocity fallback
+        self._frames_since_keyframe = 0
+        self._covisibility_ratio = 0.8
+        self._max_keyframe_frames = 20
+        self._last_keyframe: StereoFrame | None = None
+        self._last_kf_feature_to_landmark: dict[int, int] = {}
+        self._next_keyframe_id = 0
+        self._global_landmark_id = 0
+
+        # Loop closure (tier 2)
+        self._loop_enabled = False
+        self._loop_async = True
+        self._global_graph: GlobalPoseGraph | None = None
+        self._loop_closer: LoopCloser | None = None
+        self._worker: threading.Thread | None = None
+        self._queue: deque[KeyframeMsg] = deque()
+        self._queue_lock = threading.Lock()
+        self._queue_cv = threading.Condition(self._queue_lock)
+        self._stop_worker = False
+
+        self._correction_lock = threading.Lock()
+        self._anchors: dict[int, Pose3] = {}  # corrected KF poses
+        self._seed_anchors: dict[int, Pose3] = {}  # VO pose at KF insert
+        self._frame_records: list[tuple[int, Pose3]] = []  # (ref_kf, kf->frame)
+        self._loop_count = 0
+        self._loop_count_lock = threading.Lock()
+        self.map = SparseMap()
+
+    # -- lifecycle -----------------------------------------------------------
+    def enable_loop_closure(self, loop_closer: LoopCloser, async_: bool = True) -> None:
+        self._global_graph = GlobalPoseGraph()
+        self._loop_closer = loop_closer
+        self._loop_enabled = True
+        self._loop_async = async_
+        if async_:
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="loop-worker", daemon=True
+            )
+            self._worker.start()
+
+    def stop_loop_worker(self) -> None:
+        """Drain and join the async worker. Idempotent."""
+        if self._worker is None or not self._worker.is_alive():
+            return
+        with self._queue_cv:
+            self._stop_worker = True
+            self._queue_cv.notify_all()
+        self._worker.join()
+
+    def loop_closure_count(self) -> int:
+        with self._loop_count_lock:
+            return self._loop_count
+
+    def set_keyframe_params(self, covisibility_ratio: float, max_frames: int) -> None:
+        self._covisibility_ratio = covisibility_ratio
+        self._max_keyframe_frames = max_frames
+
+    # -- outputs -------------------------------------------------------------
+    def anchors(self) -> dict[int, Pose3]:
+        """Loop-corrected anchors, falling back to the VO seed anchors.
+        Read only after stop_loop_worker()."""
+        return dict(self._anchors) if self._anchors else dict(self._seed_anchors)
+
+    def corrected_trajectory(self) -> list[Pose3]:
+        """anchor[ref_kf] * rel per frame record; exact live-VO fallback when
+        no loop fired (VoEstimator.cc:181-201)."""
+        out = []
+        for ref_kf, rel in self._frame_records:
+            anchor = self._anchors.get(ref_kf)
+            if anchor is None:
+                anchor = self._seed_anchors.get(ref_kf, Pose3())
+            out.append(anchor * rel)
+        return out
+
+    # -- tracking ------------------------------------------------------------
+    def track(self, frame: StereoFrame, left_gray: np.ndarray | None = None) -> Pose3:
+        with profile_scope("vo_track_total"):
+            return self._track(frame, left_gray)
+
+    def _track(self, frame: StereoFrame, left_gray: np.ndarray | None) -> Pose3:
+        n = len(frame)
+
+        if not self._has_keyframe:
+            return self._init_first_keyframe(frame, left_gray)
+
+        # Match current frame to the last keyframe (query=KF, train=frame).
+        kf = self._last_keyframe
+        with profile_scope("vo_lg_track_match"):
+            m = self.matcher.match(
+                kf.keypoints_left,
+                kf.descriptors_left,
+                frame.keypoints_left,
+                frame.descriptors_left,
+            )
+
+        # Correspondences with depth on both ends; carry landmark ids.
+        frame_matched_landmark: dict[int, int] = {}
+        kf_idx_list: list[int] = []
+        fr_idx_list: list[int] = []
+        if len(m) > 0:
+            ki = m.matches[:, 0]
+            fi = m.matches[:, 1]
+            ok = (ki >= 0) & (fi >= 0) & (ki < len(kf)) & (fi < n)
+            ki, fi = ki[ok], fi[ok]
+            ok = kf.has_depth[ki] & frame.has_depth[fi]
+            ki, fi = ki[ok], fi[ok]
+            kf_idx_list = ki.tolist()
+            fr_idx_list = fi.tolist()
+            for kidx, fidx in zip(kf_idx_list, fr_idx_list):
+                lm = self._last_kf_feature_to_landmark.get(kidx)
+                if lm is not None:
+                    frame_matched_landmark[fidx] = lm
+
+        n_matches = len(kf_idx_list)
+        if n_matches > 0:
+            Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
+            meas = frame.stereo[np.asarray(fr_idx_list)]
+            frame_pose = self.tracker.track_arrays(self._previous_frame_pose, Xw, meas)
+        else:
+            frame_pose = self._previous_frame_pose
+
+        # Coast on constant velocity when the solve is unsupported.
+        min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
+        if n_matches < min_matches:
+            frame_pose = self._previous_frame_pose * self._previous_relative
+        else:
+            self._previous_relative = self._previous_frame_pose.between(frame_pose)
+
+        if os.environ.get("SUPERSLAM_VO_DEBUG"):
+            rel_kf = self._last_keyframe_pose.between(frame_pose)
+            print(
+                f"[trk] nmatch={n_matches} lastKf|t|="
+                f"{self._last_keyframe_pose.translation_norm():.2f} "
+                f"res|t|={frame_pose.translation_norm():.2f} "
+                f"relKf|t|={rel_kf.translation_norm():.2f}",
+                file=sys.stderr,
+            )
+
+        # Keyframe gate + insertion.
+        self._frames_since_keyframe += 1
+        covis = env_float("SUPERSLAM_KF_COVIS", self._covisibility_ratio)
+        reference_features = len(self._last_kf_feature_to_landmark)
+        if should_insert_keyframe(
+            n_matches,
+            reference_features,
+            self._frames_since_keyframe,
+            covis,
+            self._max_keyframe_frames,
+        ):
+            frame_pose = self._insert_keyframe(
+                frame, frame_pose, frame_matched_landmark, left_gray
+            )
+
+        self._previous_frame_pose = frame_pose
+        rel_pose = self._last_keyframe_pose.inverse() * frame_pose
+        self._frame_records.append((self._last_keyframe_id, rel_pose))
+        anchor = self._last_keyframe_pose
+        with self._correction_lock:
+            corrected = self._anchors.get(self._last_keyframe_id)
+        if corrected is not None:
+            anchor = corrected
+        live = anchor * rel_pose
+        frame.pose = live
+        return live
+
+    # -- internals -------------------------------------------------------------
+    def _feature_to_landmark_obs(
+        self, frame: StereoFrame, feature_to_landmark: dict[int, int]
+    ) -> list[StereoObs]:
+        return [
+            StereoObs(feature_to_landmark[i], frame.stereo[i])
+            for i in range(len(frame))
+            if frame.has_depth[i]
+        ]
+
+    def _backproject_stereo(self, frame: StereoFrame) -> np.ndarray:
+        idx = np.flatnonzero(frame.has_depth)
+        if idx.size == 0:
+            return np.zeros((0, 3))
+        return self.calib.backproject_cam_batch(frame.stereo[idx])
+
+    def _init_first_keyframe(
+        self, frame: StereoFrame, left_gray: np.ndarray | None
+    ) -> Pose3:
+        origin = Pose3()
+        frame.pose = origin
+        feature_to_landmark = {}
+        for i in range(len(frame)):
+            if frame.has_depth[i]:
+                feature_to_landmark[i] = self._global_landmark_id
+                self._global_landmark_id += 1
+        self.smoother.add_keyframe(
+            self._next_keyframe_id,
+            origin,
+            self._feature_to_landmark_obs(frame, feature_to_landmark),
+        )
+        self._last_keyframe_id = self._next_keyframe_id
+        self._next_keyframe_id += 1
+        self._last_keyframe_pose = origin
+        self._previous_frame_pose = origin
+        self._last_keyframe = frame
+        self._last_kf_feature_to_landmark = feature_to_landmark
+        self._has_keyframe = True
+
+        self.map.add_keyframe(self._last_keyframe_id, self._backproject_stereo(frame))
+        self._seed_anchors[self._last_keyframe_id] = origin
+
+        if self._loop_enabled:
+            msg = self._make_keyframe_msg(self._last_keyframe_id, frame, left_gray)
+            msg.has_previous = False
+            self._submit_keyframe(msg)
+        self._frame_records.append((self._last_keyframe_id, Pose3()))
+        return origin
+
+    def _insert_keyframe(
+        self,
+        frame: StereoFrame,
+        frame_pose: Pose3,
+        frame_matched_landmark: dict[int, int],
+        left_gray: np.ndarray | None,
+    ) -> Pose3:
+        self._frames_since_keyframe = 0
+        previous_keyframe_id = self._last_keyframe_id
+        keyframe_id = self._next_keyframe_id
+        self._next_keyframe_id += 1
+
+        # Landmark ids: matched features reuse the KF's id; unmatched stereo
+        # mint new ids.
+        feature_to_landmark: dict[int, int] = {}
+        for i in range(len(frame)):
+            if not frame.has_depth[i]:
+                continue
+            lm = frame_matched_landmark.get(i)
+            if lm is None:
+                lm = self._global_landmark_id
+                self._global_landmark_id += 1
+            feature_to_landmark[i] = lm
+
+        self.smoother.add_keyframe(
+            keyframe_id, frame_pose, self._feature_to_landmark_obs(frame, feature_to_landmark)
+        )
+        if not os.environ.get("SUPERSLAM_VO_NO_SMOOTHER"):
+            with profile_scope("vo_gtsam_optimize"):
+                self.smoother.optimize()
+            frame_pose = self.smoother.pose_of(keyframe_id)
+
+        self._last_keyframe_id = keyframe_id
+        self._last_keyframe_pose = frame_pose
+        self._last_kf_feature_to_landmark = feature_to_landmark
+        self._last_keyframe = frame
+        self._last_keyframe.pose = frame_pose  # Twc for next-frame backprojection
+
+        self.map.add_keyframe(keyframe_id, self._backproject_stereo(frame))
+        self._seed_anchors[keyframe_id] = frame_pose
+
+        if self._loop_enabled:
+            msg = self._make_keyframe_msg(keyframe_id, self._last_keyframe, left_gray)
+            msg.has_previous = True
+            msg.previous_keyframe_id = previous_keyframe_id
+            if self.smoother.in_window(previous_keyframe_id) and self.smoother.in_window(
+                keyframe_id
+            ):
+                msg.relative_odometry = self.smoother.pose_of(
+                    previous_keyframe_id
+                ).between(self.smoother.pose_of(keyframe_id))
+            self._submit_keyframe(msg)
+        return frame_pose
+
+    def _make_keyframe_msg(
+        self, keyframe_id: int, frame: StereoFrame, left_gray: np.ndarray | None
+    ) -> KeyframeMsg:
+        rec = KeyframeRecord(
+            keyframe_id=keyframe_id,
+            timestamp=frame.timestamp,
+            pose_at_insert=frame.pose,
+            keypoints_left=frame.keypoints_left,
+            descriptors_left=self.matcher.descriptors_to_host(frame.descriptors_left),
+            stereo=frame.stereo,
+            has_depth=frame.has_depth,
+        )
+        return KeyframeMsg(
+            keyframe_id=keyframe_id,
+            pose=frame.pose,
+            record=rec,
+            left_gray=None if left_gray is None else np.array(left_gray, copy=True),
+        )
+
+    def _submit_keyframe(self, msg: KeyframeMsg) -> None:
+        if self._loop_async:
+            with self._queue_cv:
+                self._queue.append(msg)
+                self._queue_cv.notify()
+        else:
+            self._process_keyframe(msg)
+
+    def _worker_loop(self) -> None:
+        while True:
+            with self._queue_cv:
+                self._queue_cv.wait_for(lambda: self._stop_worker or self._queue)
+                if self._stop_worker and not self._queue:
+                    return
+                msg = self._queue.popleft()
+            self._process_keyframe(msg)
+
+    def _process_keyframe(self, msg: KeyframeMsg) -> None:
+        self._global_graph.add_keyframe(
+            msg.keyframe_id, msg.pose, is_first=not msg.has_previous
+        )
+        if msg.has_previous:
+            self._global_graph.add_odometry(
+                msg.previous_keyframe_id,
+                msg.keyframe_id,
+                msg.relative_odometry,
+                _odometry_sigmas(),
+            )
+
+        loop_result = None
+        if msg.left_gray is not None:
+            msg.record.global_descriptor = self._loop_closer.compute_global_descriptor(
+                msg.left_gray
+            )
+            self._loop_closer.add_keyframe(msg.record)
+            loop_result = self._loop_closer.detect(msg.record)
+
+        if loop_result is None or not loop_result.accepted:
+            return  # no loop; the odometry edge is recorded
+
+        self._global_graph.add_loop(
+            loop_result.matched_keyframe,
+            msg.keyframe_id,
+            loop_result.relative_pose,
+            loop_result.noise_sigmas,
+        )
+        corrected = self._global_graph.optimize_and_get_all()
+        if not self._global_graph.last_loop_rejected():
+            with self._loop_count_lock:
+                self._loop_count += 1
+            with self._correction_lock:
+                self._anchors = corrected

@@ -1,0 +1,387 @@
+"""Fixed-lag sliding-window smoother with smart stereo factors.
+
+Equivalent of the reference WindowSmoother
+(``/root/reference/src/WindowSmoother.cc:38-118``): a deque of the last K
+keyframe poses, one smart stereo projection factor per landmark seen in >= 2
+window keyframes (landmarks marginalized, poses only), isotropic sigma_px
+measurement noise, ZERO_ON_DEGENERACY semantics, dynamic outlier rejection at
+3.0 px, a strong gauge prior on the oldest keyframe (sigma 1e-4), and a batch
+LM capped at 4 iterations / tol 1e-3. Diverged or throwing solves keep the
+previous poses.
+
+GTSAM's SmartStereoProjectionPoseFactor is implemented here in its
+variable-projection form: at every linearization each landmark is
+re-triangulated from the current poses (Gauss-Newton on the point, poses
+fixed), then eliminated by a per-landmark 3x3 Schur complement, leaving a
+dense 6K x 6K reduced camera system. Landmarks are batched by track length so
+the whole linearization is a few einsums per group instead of a Python loop
+per landmark.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict, deque
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..geometry.se3 import Pose3
+from ..geometry.stereo_camera import StereoCalib
+from ..utils.env import env_float, env_int
+from ..utils.profiler import profile_scope
+
+
+@dataclass
+class StereoObs:
+    """A landmark's stereo measurement in one keyframe (WindowSmoother.h:13)."""
+
+    landmark_id: int
+    meas: np.ndarray  # (uL, uR, v)
+
+
+class WindowSmoother:
+    DEGENERACY_EPS = 1e-9
+
+    def __init__(self, calib: StereoCalib, window_size: int):
+        self.calib = calib
+        self.window_size = int(window_size)
+        self._window: deque[int] = deque()
+        self._poses: "OrderedDict[int, Pose3]" = OrderedDict()
+        self._obs: dict[int, list[StereoObs]] = {}
+
+    # -- bookkeeping --------------------------------------------------------
+    def add_keyframe(
+        self, keyframe_id: int, initial_pose: Pose3, obs: list[StereoObs]
+    ) -> None:
+        self._poses[keyframe_id] = initial_pose
+        self._obs[keyframe_id] = obs
+        self._window.append(keyframe_id)
+        while len(self._window) > self.window_size:  # fixed-lag: drop oldest
+            old = self._window.popleft()
+            self._poses.pop(old, None)
+            self._obs.pop(old, None)
+
+    def pose_of(self, keyframe_id: int) -> Pose3:
+        return self._poses[keyframe_id]
+
+    def window_count(self) -> int:
+        return len(self._window)
+
+    def in_window(self, keyframe_id: int) -> bool:
+        return keyframe_id in self._poses
+
+    # -- optimization -------------------------------------------------------
+    def optimize(self) -> None:
+        if len(self._window) < 2:
+            return  # need parallax
+
+        kf_ids = list(self._window)
+        K = len(kf_ids)
+        idx_of = {k: i for i, k in enumerate(kf_ids)}
+        poses = [self._poses[k] for k in kf_ids]
+
+        sigma_px = env_float("SUPERSLAM_SMART_SIGMA_PX", 1.0)
+        max_iters = env_int("SUPERSLAM_WS_MAX_ITERS", 4)
+        dyn_outlier_px = 3.0
+        prior_sigma = 1e-4
+        prior_pose = poses[0]
+
+        # Group landmark tracks (>=2 views) by track length for batching.
+        tracks: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for kf in kf_ids:
+            i = idx_of[kf]
+            for o in self._obs[kf]:
+                tracks.setdefault(o.landmark_id, []).append((i, np.asarray(o.meas)))
+        groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        by_len: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for t in tracks.values():
+            if len(t) < 2:
+                continue
+            views = np.array([v for v, _ in t], dtype=np.int64)
+            meas = np.stack([m for _, m in t])
+            by_len.setdefault(len(t), []).append((views, meas))
+        for m, items in by_len.items():
+            groups[m] = (
+                np.stack([v for v, _ in items]),  # (L, m)
+                np.stack([x for _, x in items]),  # (L, m, 3)
+            )
+        if not groups:
+            return
+
+        try:
+            with profile_scope("ws_solve"):
+                result = self._lm(
+                    poses, groups, sigma_px, dyn_outlier_px, prior_pose,
+                    prior_sigma, max_iters,
+                )
+        except Exception:
+            return  # keep previous poses (WindowSmoother.cc:112-116)
+
+        if result is None:
+            return
+        for p in result:
+            if not p.is_finite() or p.translation_norm() > 1e6:
+                return  # LM diverged; keep all previous poses
+        for kf, p in zip(kf_ids, result):
+            self._poses[kf] = p
+
+    # -- internals ----------------------------------------------------------
+    def _pose_arrays(self, poses: list[Pose3]) -> tuple[np.ndarray, np.ndarray]:
+        R = np.stack([p.R for p in poses])  # (K,3,3)
+        t = np.stack([p.t for p in poses])  # (K,3)
+        return R, t
+
+    def _triangulate_group(
+        self,
+        R: np.ndarray,
+        t: np.ndarray,
+        views: np.ndarray,
+        meas: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched GN point triangulation for one track-length group.
+
+        Returns (X (L,3) world points, ok (L,) validity). Poses fixed.
+        """
+        c = self.calib
+        Rv = R[views]  # (L,m,3,3)
+        tv = t[views]  # (L,m,3)
+        L, m = views.shape
+
+        # Init from the first view's stereo backprojection, lifted to world.
+        uL0, uR0, v0 = meas[:, 0, 0], meas[:, 0, 1], meas[:, 0, 2]
+        disp0 = uL0 - uR0
+        ok = disp0 > 1e-6
+        z0 = c.bf / np.where(ok, disp0, 1.0)
+        cam0 = np.stack(
+            [(uL0 - c.cx) * z0 / c.fx, (v0 - c.cy) * z0 / c.fy, z0], axis=1
+        )
+        X = np.einsum("lij,lj->li", Rv[:, 0], cam0) + tv[:, 0]
+
+        for _ in range(5):
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)  # (L,m,3) cam
+            z = p[..., 2]
+            ok = ok & np.all(z > self.DEGENERACY_EPS, axis=1)
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            iz = 1.0 / zs
+            r = self._residuals_from_cam(p, iz, meas)  # (L,m,3)
+            Jp = self._proj_jacobian(p, iz)  # (L,m,3,3)
+            Jx = np.einsum("lmij,lmkj->lmik", Jp, Rv)  # dproj/dX = Jp @ R^T
+            A = np.einsum("lmij,lmik->ljk", Jx, Jx)  # (L,3,3)
+            g = np.einsum("lmij,lmi->lj", Jx, r)
+            A = A + 1e-9 * np.eye(3)
+            try:
+                delta = -np.linalg.solve(A, g[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                return X, np.zeros(L, dtype=bool)
+            X = X + np.where(ok[:, None], delta, 0.0)
+
+        # Final validity: all views in front and well-conditioned.
+        p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+        ok = ok & np.all(p[..., 2] > self.DEGENERACY_EPS, axis=1)
+        ok = ok & np.isfinite(X).all(axis=1)
+        return X, ok
+
+    def _residuals_from_cam(
+        self, p: np.ndarray, iz: np.ndarray, meas: np.ndarray
+    ) -> np.ndarray:
+        c = self.calib
+        proj = np.empty_like(p)
+        proj[..., 0] = c.fx * p[..., 0] * iz + c.cx
+        proj[..., 1] = c.fx * (p[..., 0] - c.baseline) * iz + c.cx
+        proj[..., 2] = c.fy * p[..., 1] * iz + c.cy
+        return proj - meas
+
+    def _proj_jacobian(self, p: np.ndarray, iz: np.ndarray) -> np.ndarray:
+        """(...,3) cam points -> (...,3,3) d(uL,uR,v)/dp_cam."""
+        c = self.calib
+        iz2 = iz * iz
+        J = np.zeros(p.shape[:-1] + (3, 3))
+        J[..., 0, 0] = c.fx * iz
+        J[..., 0, 2] = -c.fx * p[..., 0] * iz2
+        J[..., 1, 0] = c.fx * iz
+        J[..., 1, 2] = -c.fx * (p[..., 0] - c.baseline) * iz2
+        J[..., 2, 1] = c.fy * iz
+        J[..., 2, 2] = -c.fy * p[..., 1] * iz2
+        return J
+
+    def _error_and_points(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        inv_sigma: float,
+        dyn_outlier_px: float,
+        prior_pose: Pose3,
+        prior_info: float,
+    ) -> float:
+        """Total 0.5*chi2 with fresh triangulation (smart-factor error)."""
+        R, t = self._pose_arrays(poses)
+        err = 0.0
+        for m, (views, meas) in groups.items():
+            X, ok = self._triangulate_group(R, t, views, meas)
+            if not ok.any():
+                continue
+            Rv, tv = R[views], t[views]
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+            z = p[..., 2]
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            r = self._residuals_from_cam(p, 1.0 / zs, meas)
+            # Dynamic outlier rejection: max per-view reprojection error (px).
+            maxerr = np.max(np.linalg.norm(r, axis=-1), axis=-1)
+            keep = ok & (maxerr < dyn_outlier_px) if dyn_outlier_px > 0 else ok
+            if not keep.any():
+                continue
+            rw = r[keep] * inv_sigma
+            err += 0.5 * float(np.sum(rw * rw))
+        dxi = prior_pose.local(poses[0])
+        err += 0.5 * float(dxi @ dxi) * prior_info
+        return err
+
+    def _lm(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        sigma_px: float,
+        dyn_outlier_px: float,
+        prior_pose: Pose3,
+        prior_sigma: float,
+        max_iters: int,
+    ) -> list[Pose3] | None:
+        K = len(poses)
+        inv_sigma = 1.0 / sigma_px
+        prior_info = 1.0 / (prior_sigma * prior_sigma)
+
+        err = self._error_and_points(
+            poses, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+        )
+        lam, lam_factor = 1e-5, 10.0
+        rel_tol = abs_tol = 1e-3
+
+        for _ in range(max_iters):
+            Hb = self._build_reduced_system(
+                poses, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+            )
+            if Hb is None:
+                return poses
+            H, b = Hb
+
+            stepped = False
+            for _try in range(8):
+                try:
+                    delta = np.linalg.solve(H + lam * np.eye(6 * K), -b)
+                except np.linalg.LinAlgError:
+                    lam *= lam_factor
+                    continue
+                cand = [
+                    p.retract(delta[6 * i : 6 * i + 6]) for i, p in enumerate(poses)
+                ]
+                cand_err = self._error_and_points(
+                    cand, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+                )
+                if cand_err < err:
+                    improvement = err - cand_err
+                    poses, err = cand, cand_err
+                    lam = max(lam / lam_factor, 1e-10)
+                    stepped = True
+                    if improvement < rel_tol * max(err, 1.0) or improvement < abs_tol:
+                        return poses
+                    break
+                lam *= lam_factor
+                if lam > 1e8:
+                    return poses
+            if not stepped:
+                return poses
+        return poses
+
+    def _build_reduced_system(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        inv_sigma: float,
+        dyn_outlier_px: float,
+        prior_pose: Pose3,
+        prior_info: float,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Schur-reduced camera system: H (6K,6K), b (6K).
+
+        Per landmark: whitened residual r (m,3), pose Jacobians U_j (3,6),
+        point Jacobian Jx (m,3,3). Eliminate the point:
+          H_jk += U_j^T U_j [j==k]  -  W_j A^-1 W_k^T,  W_j = U_j^T Jx_j
+          b_j  += U_j^T r_j        -  W_j A^-1 (sum_k Jx_k^T r_k)
+        Batched over all landmarks with the same track length.
+        """
+        K = len(poses)
+        R, t = self._pose_arrays(poses)
+        Hblk = np.zeros((K, K, 6, 6))
+        bblk = np.zeros((K, 6))
+        any_factor = False
+
+        for m, (views, meas) in groups.items():
+            X, ok = self._triangulate_group(R, t, views, meas)
+            Rv, tv = R[views], t[views]
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)  # (L,m,3) cam
+            z = p[..., 2]
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            iz = 1.0 / zs
+            r = self._residuals_from_cam(p, iz, meas)
+            maxerr = np.max(np.linalg.norm(r, axis=-1), axis=-1)
+            keep = ok & (maxerr < dyn_outlier_px) if dyn_outlier_px > 0 else ok
+            if not keep.any():
+                continue
+            any_factor = True
+            views_k = views[keep]
+            p, iz, r = p[keep], iz[keep], r[keep]
+            Rv = Rv[keep]
+
+            Jp = self._proj_jacobian(p, iz)  # (L,m,3,3)
+            # Pose Jacobian: d p_cam/d xi = [skew(p_cam), -I] (right retract).
+            L = p.shape[0]
+            Dcam = np.zeros((L, m, 3, 6))
+            Dcam[..., 0, 1] = -p[..., 2]
+            Dcam[..., 0, 2] = p[..., 1]
+            Dcam[..., 1, 0] = p[..., 2]
+            Dcam[..., 1, 2] = -p[..., 0]
+            Dcam[..., 2, 0] = -p[..., 1]
+            Dcam[..., 2, 1] = p[..., 0]
+            Dcam[..., 0, 3] = -1.0
+            Dcam[..., 1, 4] = -1.0
+            Dcam[..., 2, 5] = -1.0
+            U = np.einsum("lmij,lmjk->lmik", Jp, Dcam) * inv_sigma  # (L,m,3,6)
+            Jx = np.einsum("lmij,lmkj->lmik", Jp, Rv) * inv_sigma  # (L,m,3,3)
+            rw = r * inv_sigma
+
+            A = np.einsum("lmij,lmik->ljk", Jx, Jx) + 1e-12 * np.eye(3)
+            try:
+                Ainv = np.linalg.inv(A)  # (L,3,3)
+            except np.linalg.LinAlgError:
+                continue
+            W = np.einsum("lmij,lmik->lmjk", U, Jx)  # (L,m,6,3) = U^T Jx
+            gx = np.einsum("lmij,lmi->lj", Jx, rw)  # (L,3)
+            Ainv_gx = np.einsum("lij,lj->li", Ainv, gx)  # (L,3)
+
+            # Diagonal contributions + gradient.
+            Hdiag = np.einsum("lmij,lmik->lmjk", U, U)  # (L,m,6,6)
+            gdiag = np.einsum("lmij,lmi->lmj", U, rw)  # (L,m,6)
+            gcorr = np.einsum("lmjk,lk->lmj", W, Ainv_gx)  # (L,m,6)
+            WAinv = np.einsum("lmjk,lki->lmji", W, Ainv)  # (L,m,6,3)
+
+            for j in range(m):
+                vj = views_k[:, j]
+                np.add.at(bblk, vj, gdiag[:, j] - gcorr[:, j])
+                np.add.at(Hblk, (vj, vj), Hdiag[:, j])
+                for k in range(m):
+                    vk = views_k[:, k]
+                    corr = np.einsum(
+                        "lji,lki->ljk", WAinv[:, j], W[:, k]
+                    )  # (L,6,6)
+                    np.add.at(Hblk, (vj, vk), -corr)
+
+        if not any_factor:
+            return None
+
+        H = Hblk.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        b = bblk.reshape(6 * K)
+        # Gauge prior on the oldest keyframe.
+        dxi = prior_pose.local(poses[0])
+        H[:6, :6] += prior_info * np.eye(6)
+        b[:6] += prior_info * dxi
+        return H, b
