@@ -1,0 +1,301 @@
+"""LightGlue feature matcher as a single padded-shape XLA program.
+
+Reimplements the matcher the reference exports matcher-only to TensorRT
+(``/root/reference/utils/convert_lightglue_to_onnx.py:56-125``; engine I/O in
+``src/LightGlue.cc:174-227``): 9 transformer layers over 256-d SuperPoint
+descriptors with learnable-Fourier rotary positional self-attention,
+bidirectional cross-attention, and a dual-softmax + matchability assignment.
+Early-exit and point pruning are disabled, matching the export contract.
+
+TPU-first design decisions:
+- **Static padded shapes**: both keypoint sets are padded to a fixed K with
+  validity masks threaded through attention, the assignment softmaxes, and
+  match extraction (the -1/unmatched convention absorbs padding naturally).
+  The reference instead re-allocates TRT bindings per frame
+  (``src/LightGlue.cc:174-227``); here one compiled program serves every
+  frame, so there are no recompiles and no allocator on the hot path.
+- bfloat16 matmuls with f32 softmax/logsumexp.
+- Keypoints are pre-normalized by the caller as (kpt - size/2)/(max(w,h)/2),
+  the same contract as the reference wrapper (``src/LightGlue.cc:163-172``).
+
+Parameter names mirror the cvg/LightGlue torch state dict
+(``transformers.{i}.self_attn.Wqkv.weight`` etc., linear weights transposed
+to (in, out) at load) so published checkpoints load without renaming —
+including the interleaved (head, channel, qkv) packing of Wqkv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+DIM = 256
+NUM_HEADS = 4
+HEAD_DIM = DIM // NUM_HEADS
+NUM_LAYERS = 9
+NEG = -1e9
+
+
+def _linear(x, params, name, dtype):
+    w = params[f"{name}.weight"].astype(dtype)  # (in, out)
+    b = params.get(f"{name}.bias")
+    y = x.astype(dtype) @ w
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def _layer_norm(x, params, name, dtype):
+    g = params[f"{name}.weight"].astype(jnp.float32)
+    b = params[f"{name}.bias"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + b).astype(dtype)
+
+
+def _ffn(x, message, params, prefix, dtype):
+    """x + MLP(cat[x, message]): Linear(2d,2d) -> LayerNorm -> GELU -> Linear."""
+    h = jnp.concatenate([x, message], axis=-1)
+    h = _linear(h, params, f"{prefix}.0", dtype)
+    h = _layer_norm(h, params, f"{prefix}.1", dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _linear(h, params, f"{prefix}.3", dtype)
+    return x + h
+
+
+def _rotary_encoding(kpts, params, dtype):
+    """Learnable Fourier features -> (cos, sin) each (B, N, HEAD_DIM).
+
+    projected = kpts @ Wr^T (no bias); cos/sin repeated-interleaved x2 so the
+    rotary pairs (2i, 2i+1) share a frequency.
+    """
+    wr = params["posenc.Wr.weight"].astype(jnp.float32)  # (2, HEAD_DIM//2)
+    proj = kpts.astype(jnp.float32) @ wr  # (B, N, 32)
+    cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def _rotate_half(x):
+    x = x.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = x[..., 0], x[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(*x.shape[:-2], -1)
+
+
+def _apply_rotary(t, cos, sin):
+    # t: (B, H, N, D), cos/sin: (B, N, D) broadcast over heads.
+    return t * cos[:, None] + _rotate_half(t) * sin[:, None]
+
+
+def _split_heads(x):
+    b, n, _ = x.shape
+    return x.reshape(b, n, NUM_HEADS, HEAD_DIM).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _attention(q, k, v, key_mask):
+    """Masked SDPA. q,k,v: (B, H, N, D); key_mask: (B, N) bool."""
+    scale = 1.0 / np.sqrt(HEAD_DIM)
+    logits = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(key_mask[:, None, None, :], logits, NEG)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+
+
+def _self_block(x, enc, mask, params, prefix, dtype):
+    b, n, _ = x.shape
+    qkv = _linear(x, params, f"{prefix}.Wqkv", dtype)
+    # cvg/LightGlue packs Wqkv output as (head, channel, qkv) interleaved.
+    qkv = qkv.reshape(b, n, NUM_HEADS, HEAD_DIM, 3).transpose(0, 2, 1, 3, 4)
+    q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+    cos, sin = enc
+    q = _apply_rotary(q, cos, sin)
+    k = _apply_rotary(k, cos, sin)
+    context = _attention(q, k, v, mask)
+    message = _linear(_merge_heads(context), params, f"{prefix}.out_proj", dtype)
+    return _ffn(x, message, params, f"{prefix}.ffn", dtype)
+
+
+def _cross_block(x0, x1, mask0, mask1, params, prefix, dtype):
+    qk0 = _split_heads(_linear(x0, params, f"{prefix}.to_qk", dtype))
+    qk1 = _split_heads(_linear(x1, params, f"{prefix}.to_qk", dtype))
+    v0 = _split_heads(_linear(x0, params, f"{prefix}.to_v", dtype))
+    v1 = _split_heads(_linear(x1, params, f"{prefix}.to_v", dtype))
+    scale = 1.0 / np.sqrt(HEAD_DIM)
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
+    ) * scale
+    sim01 = jnp.where(mask1[:, None, None, :], sim, NEG)
+    sim10 = jnp.where(mask0[:, None, None, :], sim.transpose(0, 1, 3, 2), NEG)
+    m0 = jnp.einsum(
+        "bhij,bhjd->bhid", jax.nn.softmax(sim01, axis=-1).astype(v1.dtype), v1
+    )
+    m1 = jnp.einsum(
+        "bhij,bhjd->bhid", jax.nn.softmax(sim10, axis=-1).astype(v0.dtype), v0
+    )
+    m0 = _linear(_merge_heads(m0), params, f"{prefix}.to_out", dtype)
+    m1 = _linear(_merge_heads(m1), params, f"{prefix}.to_out", dtype)
+    x0 = _ffn(x0, m0, params, f"{prefix}.ffn", dtype)
+    x1 = _ffn(x1, m1, params, f"{prefix}.ffn", dtype)
+    return x0, x1
+
+
+def _log_assignment(x0, x1, mask0, mask1, params, prefix):
+    """Dual-softmax + matchability log-assignment (f32)."""
+    d0 = _linear(x0, params, f"{prefix}.final_proj", jnp.float32)
+    d1 = _linear(x1, params, f"{prefix}.final_proj", jnp.float32)
+    s = float(DIM) ** 0.25
+    sim = jnp.einsum(
+        "bmd,bnd->bmn", d0 / s, d1 / s, preferred_element_type=jnp.float32
+    )
+    sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, NEG)
+    z0 = _linear(x0, params, f"{prefix}.matchability", jnp.float32)[..., 0]
+    z1 = _linear(x1, params, f"{prefix}.matchability", jnp.float32)[..., 0]
+    certainties = (
+        jax.nn.log_sigmoid(z0)[:, :, None] + jax.nn.log_sigmoid(z1)[:, None, :]
+    )
+    scores0 = jax.nn.log_softmax(sim, axis=2)
+    scores1 = jax.nn.log_softmax(sim, axis=1)
+    return scores0 + scores1 + certainties  # (B, M, N) log P(match)
+
+
+def lightglue_forward(
+    params: Params,
+    kpts0: jnp.ndarray,
+    desc0: jnp.ndarray,
+    kpts1: jnp.ndarray,
+    desc1: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Run the full matcher; returns the (B, M, N) log-assignment matrix.
+
+    kpts already normalized to ~[-1, 1]; desc L2-normalized rows; masks mark
+    real (non-padding) keypoints.
+    """
+    x0 = _linear(desc0, params, "input_proj", compute_dtype)
+    x1 = _linear(desc1, params, "input_proj", compute_dtype)
+    enc0 = _rotary_encoding(kpts0, params, compute_dtype)
+    enc1 = _rotary_encoding(kpts1, params, compute_dtype)
+
+    for i in range(NUM_LAYERS):
+        p = f"transformers.{i}"
+        x0 = _self_block(x0, enc0, mask0, params, f"{p}.self_attn", compute_dtype)
+        x1 = _self_block(x1, enc1, mask1, params, f"{p}.self_attn", compute_dtype)
+        x0, x1 = _cross_block(
+            x0, x1, mask0, mask1, params, f"{p}.cross_attn", compute_dtype
+        )
+
+    # Early-exit disabled: only the final layer's assignment head is used
+    # (matches the export contract, convert_lightglue_to_onnx.py:73-74).
+    return _log_assignment(
+        x0, x1, mask0, mask1, params, f"log_assignment.{NUM_LAYERS - 1}"
+    )
+
+
+def extract_matches(
+    log_assignment: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    threshold: float = 0.1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mutual-argmax match extraction with score threshold, fully on device.
+
+    Returns matches0 (B, M) int32 (index into set1, -1 if unmatched) and
+    mscores0 (B, M) f32 — the exact output contract of the reference engine
+    (src/LightGlue.cc:326-363).
+    """
+    p = log_assignment  # (B, M, N)
+    m0 = jnp.argmax(p, axis=2).astype(jnp.int32)  # (B, M)
+    m1 = jnp.argmax(p, axis=1).astype(jnp.int32)  # (B, N)
+    max0 = jnp.max(p, axis=2)
+    # Mutual check: m1[m0[i]] == i.
+    inds = jnp.arange(p.shape[1], dtype=jnp.int32)[None]
+    mutual = jnp.take_along_axis(m1, m0, axis=1) == inds
+    scores = jnp.exp(max0)
+    valid = mutual & (scores > threshold) & mask0
+    valid = valid & jnp.take_along_axis(mask1, m0, axis=1)
+    matches0 = jnp.where(valid, m0, -1)
+    mscores0 = jnp.where(valid, scores, 0.0)
+    return matches0, mscores0
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def lightglue_match(
+    params: Params,
+    kpts0: jnp.ndarray,
+    desc0: jnp.ndarray,
+    kpts1: jnp.ndarray,
+    desc1: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    threshold: float = 0.1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One jitted program: transformer + assignment + match extraction."""
+    la = lightglue_forward(params, kpts0, desc0, kpts1, desc1, mask0, mask1)
+    return extract_matches(la, mask0, mask1, threshold)
+
+
+def normalize_keypoints(
+    kpts: jnp.ndarray, width: float, height: float
+) -> jnp.ndarray:
+    """(kpt - size/2) / (max(w,h)/2) — the wrapper-side normalization
+    contract (src/LightGlue.cc:163-172)."""
+    scale = max(width, height) / 2.0
+    center = jnp.array([width / 2.0, height / 2.0], dtype=jnp.float32)
+    return (kpts - center) / scale
+
+
+# -- parameter init -----------------------------------------------------------
+
+
+def init_lightglue_params(seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random init (torch-name-compatible layout) for tests/benches."""
+    rng = np.random.default_rng(seed)
+    params: Params = {}
+
+    def lin(name, fin, fout, bias=True, std=None):
+        std = std if std is not None else float(np.sqrt(1.0 / fin))
+        params[f"{name}.weight"] = jnp.asarray(
+            rng.standard_normal((fin, fout)) * std, dtype
+        )
+        if bias:
+            params[f"{name}.bias"] = jnp.zeros((fout,), dtype)
+
+    lin("input_proj", DIM, DIM)
+    lin("posenc.Wr", 2, HEAD_DIM // 2, bias=False, std=1.0)
+    for i in range(NUM_LAYERS):
+        s = f"transformers.{i}.self_attn"
+        lin(f"{s}.Wqkv", DIM, 3 * DIM)
+        lin(f"{s}.out_proj", DIM, DIM)
+        lin(f"{s}.ffn.0", 2 * DIM, 2 * DIM)
+        params[f"{s}.ffn.1.weight"] = jnp.ones((2 * DIM,), dtype)
+        params[f"{s}.ffn.1.bias"] = jnp.zeros((2 * DIM,), dtype)
+        lin(f"{s}.ffn.3", 2 * DIM, DIM)
+        c = f"transformers.{i}.cross_attn"
+        lin(f"{c}.to_qk", DIM, DIM)
+        lin(f"{c}.to_v", DIM, DIM)
+        lin(f"{c}.to_out", DIM, DIM)
+        lin(f"{c}.ffn.0", 2 * DIM, 2 * DIM)
+        params[f"{c}.ffn.1.weight"] = jnp.ones((2 * DIM,), dtype)
+        params[f"{c}.ffn.1.bias"] = jnp.zeros((2 * DIM,), dtype)
+        lin(f"{c}.ffn.3", 2 * DIM, DIM)
+    for i in range(NUM_LAYERS):
+        a = f"log_assignment.{i}"
+        lin(f"{a}.final_proj", DIM, DIM)
+        lin(f"{a}.matchability", DIM, 1)
+    return params

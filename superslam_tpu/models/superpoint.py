@@ -1,0 +1,228 @@
+"""SuperPoint keypoint detector + descriptor as a pure-JAX function.
+
+Reimplements the architecture the reference exports to ONNX/TensorRT
+(``/root/reference/utils/convert_superpoint_to_onnx.py:26-124``): the
+conv1a..conv4b VGG encoder, the 65-channel detector head with softmax +
+depth-to-space + in-graph max-pool NMS (radius 4), and the 256-d descriptor
+head with channel-wise L2 normalization — designed TPU-first:
+
+- NHWC layout (TPU conv-friendly), bfloat16 compute, f32 score head.
+- Keypoint selection runs ON DEVICE: border mask + threshold + `lax.top_k`
+  + descriptor gather + renormalize, all inside the same jitted program.
+  The reference copies the full score map to the host, scans and sorts it on
+  CPU, then launches a custom CUDA gather (``src/SuperPoint.cc:681-750``,
+  ``src/DescriptorGather.cu:14-82``); on TPU the whole path is one XLA
+  program and descriptors never exist anywhere but HBM.
+- Static shapes: images are padded to a fixed H x W per dataset and the
+  keypoint count is a static K = max_keypoints with a validity mask.
+
+Parameters are a flat dict keyed by the torch state-dict names
+(``conv1a.weight`` etc.) so the published superpoint_v1.pth / safetensors
+weights load without renaming (conv kernels transposed OIHW -> HWIO at load;
+see models.weights).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+DESCRIPTOR_DIM = 256
+CELL = 8  # stride of the descriptor grid
+
+
+def _conv(x: jnp.ndarray, params: Params, name: str, compute_dtype) -> jnp.ndarray:
+    """3x3 (SAME) or 1x1 conv in NHWC with HWIO weights."""
+    w = params[f"{name}.weight"].astype(compute_dtype)
+    b = params[f"{name}.bias"].astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def _pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def superpoint_dense(
+    params: Params,
+    image: jnp.ndarray,
+    nms_radius: int = 4,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense forward pass.
+
+    Args:
+      image: (B, H, W) grayscale in [0, 1].
+    Returns:
+      scores (B, H, W) f32 NMS'd heatmap;
+      descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype).
+    """
+    x = image[..., None]  # NHWC
+    relu = jax.nn.relu
+    x = relu(_conv(x, params, "conv1a", compute_dtype))
+    x = relu(_conv(x, params, "conv1b", compute_dtype))
+    x = _pool2(x)
+    x = relu(_conv(x, params, "conv2a", compute_dtype))
+    x = relu(_conv(x, params, "conv2b", compute_dtype))
+    x = _pool2(x)
+    x = relu(_conv(x, params, "conv3a", compute_dtype))
+    x = relu(_conv(x, params, "conv3b", compute_dtype))
+    x = _pool2(x)
+    x = relu(_conv(x, params, "conv4a", compute_dtype))
+    x = relu(_conv(x, params, "conv4b", compute_dtype))
+
+    # Detector head: 65 channels = 8x8 cell logits + dustbin.
+    cPa = relu(_conv(x, params, "convPa", compute_dtype))
+    logits = _conv(cPa, params, "convPb", compute_dtype).astype(jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)[..., :-1]  # (B, h, w, 64)
+    b, h, w, _ = scores.shape
+    # Depth-to-space: (B, h, w, 8, 8) -> (B, h*8, w*8).
+    scores = scores.reshape(b, h, w, CELL, CELL)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * CELL, w * CELL)
+
+    if nms_radius > 0:
+        k = 2 * nms_radius + 1
+        pooled = jax.lax.reduce_window(
+            scores, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME"
+        )
+        scores = jnp.where(scores == pooled, scores, 0.0)
+
+    # Descriptor head, L2-normalized over channels.
+    cDa = relu(_conv(x, params, "convDa", compute_dtype))
+    desc = _conv(cDa, params, "convDb", compute_dtype)
+    desc = desc * jax.lax.rsqrt(
+        jnp.sum(jnp.square(desc.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12
+    ).astype(compute_dtype)
+    return scores, desc
+
+
+def select_keypoints(
+    scores: jnp.ndarray,
+    descriptors: jnp.ndarray,
+    max_keypoints: int,
+    keypoint_threshold: float = 0.005,
+    remove_borders: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """On-device top-K keypoint selection + nearest-cell descriptor gather.
+
+    Replaces the reference's host score scan + sort + CUDA gather
+    (src/SuperPoint.cc:696-750). Static output shapes: exactly K rows per
+    image with a validity mask (score > threshold).
+
+    Args:
+      scores: (B, H, W) f32 NMS'd heatmap.
+      descriptors: (B, H/8, W/8, D) normalized grid.
+    Returns:
+      kpts (B, K, 2) f32 (x, y) pixels; kp_scores (B, K) f32;
+      valid (B, K) bool; desc (B, K, D) gathered rows (renormalized f32).
+    """
+    b, h, w = scores.shape
+    gh, gw = descriptors.shape[1], descriptors.shape[2]
+
+    # Border suppression.
+    if remove_borders > 0:
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        border = (
+            (ys >= remove_borders)
+            & (ys < h - remove_borders)
+            & (xs >= remove_borders)
+            & (xs < w - remove_borders)
+        )
+        scores = jnp.where(border[None], scores, 0.0)
+
+    flat = scores.reshape(b, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)  # (B, K)
+    yy = top_idx // w
+    xx = top_idx % w
+    valid = top_scores > keypoint_threshold
+
+    # Nearest descriptor cell (8x downsample), clamped to the grid.
+    cy = jnp.minimum(yy // CELL, gh - 1)
+    cx = jnp.minimum(xx // CELL, gw - 1)
+    cell = cy * gw + cx  # (B, K)
+    grid = descriptors.reshape(b, gh * gw, -1).astype(jnp.float32)
+    desc = jnp.take_along_axis(grid, cell[..., None], axis=1)  # (B, K, D)
+    # Renormalize (bf16 grid rows are only approximately unit).
+    desc = desc * jax.lax.rsqrt(
+        jnp.sum(jnp.square(desc), axis=-1, keepdims=True) + 1e-12
+    )
+    desc = jnp.where(valid[..., None], desc, 0.0)
+
+    kpts = jnp.stack([xx, yy], axis=-1).astype(jnp.float32)
+    return kpts, top_scores, valid, desc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+    ),
+)
+def superpoint_extract(
+    params: Params,
+    image: jnp.ndarray,
+    max_keypoints: int = 1024,
+    keypoint_threshold: float = 0.005,
+    remove_borders: int = 4,
+    nms_radius: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full extraction: dense heads + on-device selection, one XLA program.
+
+    image: (B, H, W) f32 in [0, 1]. The stereo path is simply B=2 — the
+    reference's batched {2,1,H,W} enqueue (src/SuperPoint.cc:754-892) is the
+    natural leading batch dimension here.
+    """
+    scores, desc = superpoint_dense(params, image, nms_radius=nms_radius)
+    return select_keypoints(
+        scores, desc, max_keypoints, keypoint_threshold, remove_borders
+    )
+
+
+# -- parameter init ---------------------------------------------------------
+
+_SP_LAYERS = [
+    ("conv1a", 1, 64),
+    ("conv1b", 64, 64),
+    ("conv2a", 64, 64),
+    ("conv2b", 64, 64),
+    ("conv3a", 64, 128),
+    ("conv3b", 128, 128),
+    ("conv4a", 128, 128),
+    ("conv4b", 128, 128),
+    ("convPa", 128, 256),
+    ("convPb", 256, 65),
+    ("convDa", 128, 256),
+    ("convDb", 256, DESCRIPTOR_DIM),
+]
+
+
+def init_superpoint_params(seed: int = 0, dtype=jnp.float32) -> Params:
+    """He-init random parameters (HWIO) for weight-free testing/benching."""
+    rng = np.random.default_rng(seed)
+    params: Params = {}
+    for name, cin, cout in _SP_LAYERS:
+        k = 1 if name in ("convPb", "convDb") else 3
+        std = float(np.sqrt(2.0 / (k * k * cin)))
+        params[f"{name}.weight"] = jnp.asarray(
+            rng.standard_normal((k, k, cin, cout)) * std, dtype
+        )
+        params[f"{name}.bias"] = jnp.zeros((cout,), dtype)
+    return params

@@ -1,13 +1,22 @@
 """Test env: force JAX onto CPU with an 8-device virtual mesh so sharding
-tests run without TPU hardware (the driver separately dry-runs the multi-chip
-path). Must run before any jax import."""
+tests run hermetically and fast without TPU hardware (the driver separately
+dry-runs the multi-chip path, and bench.py runs on the real chip).
+
+The container's sitecustomize registers the axon TPU backend and overrides
+JAX_PLATFORMS, so the env var alone is not enough — the jax config must be
+updated before any backend initialization.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("SUPERSLAM_NO_LOG_FILE", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
