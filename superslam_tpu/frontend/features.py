@@ -1,0 +1,41 @@
+"""Device-resident padded feature containers.
+
+On TPU the reference's DescriptorPool slots + D2D copies
+(``/root/reference/include/DescriptorPool.h``, ``src/LightGlue.cc:425-441``)
+reduce to this: a ``PaddedFeatures`` holds the jitted extractor's padded
+output arrays exactly as they live in HBM, plus the valid count. Passing it
+to the matcher passes HBM buffers between XLA programs — zero copies, no
+allocator, no free-list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class PaddedFeatures:
+    """Static-shape feature block: rows [0, n) real, rows [n, K) padding."""
+
+    kpts: Any  # (K, 2) f32 jax.Array, pixel coords
+    desc: Any  # (K, D) f32/bf16 jax.Array, L2-normalized rows
+    n: int  # number of valid rows
+    width: int  # image size the keypoints live in (for normalization)
+    height: int
+
+    @property
+    def capacity(self) -> int:
+        return int(self.kpts.shape[0])
+
+
+def host_descriptors(feats: PaddedFeatures | np.ndarray | None) -> np.ndarray:
+    """Materialize float32 host rows [N, D] (the reference's
+    descriptors_to_host, one D2H per keyframe)."""
+    if feats is None:
+        return np.zeros((0, 256), np.float32)
+    if isinstance(feats, np.ndarray):
+        return feats.astype(np.float32)
+    return np.asarray(feats.desc, np.float32)[: feats.n]

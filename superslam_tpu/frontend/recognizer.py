@@ -1,0 +1,44 @@
+"""EigenPlaces place recognizer backend (PlaceRecognizer implementation).
+
+Equivalent of the reference EigenPlaces wrapper + its embedded cosine index
+(``/root/reference/src/EigenPlaces.cc:145-174``): image -> preprocess ->
+one jitted ResNet18+GeM forward -> L2-normalized 512-d descriptor, with a
+CosineDescriptorIndex for retrieval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.place_recognition import CosineDescriptorIndex, LoopCandidate
+from ..models.eigenplaces import eigenplaces_descriptor, preprocess_image
+from ..utils.env import env_float
+from ..utils.profiler import profile_scope
+
+
+class EigenPlacesRecognizer:
+    def __init__(self, params, image_size: int = 512, min_score: float | None = None):
+        self.params = params
+        self.image_size = int(image_size)
+        self.min_score = env_float(
+            "SUPERSLAM_LOOP_MIN_SCORE", 0.75 if min_score is None else min_score
+        )
+        self.index = CosineDescriptorIndex()
+
+    def compute_global_descriptor(self, image: np.ndarray) -> np.ndarray:
+        with profile_scope("ep_descriptor"):
+            x = preprocess_image(image, self.image_size)
+            d = eigenplaces_descriptor(self.params, jnp.asarray(x))
+            return np.asarray(d[0], np.float32)
+
+    def add(self, keyframe_id: int, global_descriptor: np.ndarray) -> None:
+        self.index.add(keyframe_id, global_descriptor)
+
+    def query(
+        self, global_descriptor: np.ndarray, exclude_recent: int, top_k: int
+    ) -> list[LoopCandidate]:
+        return self.index.query(
+            global_descriptor, exclude_recent, top_k, self.min_score
+        )

@@ -116,34 +116,41 @@ def select_keypoints(
     max_keypoints: int,
     keypoint_threshold: float = 0.005,
     remove_borders: int = 4,
+    true_width: int | None = None,
+    true_height: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device top-K keypoint selection + nearest-cell descriptor gather.
 
     Replaces the reference's host score scan + sort + CUDA gather
     (src/SuperPoint.cc:696-750). Static output shapes: exactly K rows per
-    image with a validity mask (score > threshold).
+    image with a validity mask (score > threshold). Valid rows always form a
+    prefix (top_k sorts scores descending and suppressed cells score 0).
 
     Args:
-      scores: (B, H, W) f32 NMS'd heatmap.
+      scores: (B, H, W) f32 NMS'd heatmap (H, W may include right/bottom
+        zero padding to reach conv-friendly multiples of 8).
       descriptors: (B, H/8, W/8, D) normalized grid.
+      true_width/true_height: the un-padded image extent; borders are
+        enforced against it so padding never produces keypoints.
     Returns:
       kpts (B, K, 2) f32 (x, y) pixels; kp_scores (B, K) f32;
       valid (B, K) bool; desc (B, K, D) gathered rows (renormalized f32).
     """
     b, h, w = scores.shape
     gh, gw = descriptors.shape[1], descriptors.shape[2]
+    tw = true_width if true_width is not None else w
+    th = true_height if true_height is not None else h
 
-    # Border suppression.
-    if remove_borders > 0:
-        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        border = (
-            (ys >= remove_borders)
-            & (ys < h - remove_borders)
-            & (xs >= remove_borders)
-            & (xs < w - remove_borders)
-        )
-        scores = jnp.where(border[None], scores, 0.0)
+    # Border suppression against the TRUE image extent.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (
+        (ys >= remove_borders)
+        & (ys < th - remove_borders)
+        & (xs >= remove_borders)
+        & (xs < tw - remove_borders)
+    )
+    scores = jnp.where(border[None], scores, 0.0)
 
     flat = scores.reshape(b, h * w)
     top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)  # (B, K)
@@ -174,6 +181,8 @@ def select_keypoints(
         "keypoint_threshold",
         "remove_borders",
         "nms_radius",
+        "true_width",
+        "true_height",
     ),
 )
 def superpoint_extract(
@@ -183,6 +192,8 @@ def superpoint_extract(
     keypoint_threshold: float = 0.005,
     remove_borders: int = 4,
     nms_radius: int = 4,
+    true_width: int | None = None,
+    true_height: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full extraction: dense heads + on-device selection, one XLA program.
 
@@ -192,7 +203,13 @@ def superpoint_extract(
     """
     scores, desc = superpoint_dense(params, image, nms_radius=nms_radius)
     return select_keypoints(
-        scores, desc, max_keypoints, keypoint_threshold, remove_borders
+        scores,
+        desc,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        true_width,
+        true_height,
     )
 
 

@@ -1,0 +1,199 @@
+"""The SuperSLAM facade — the one object users construct.
+
+Equivalent of ``/root/reference/src/SuperSLAM.cc`` / ``include/SuperSLAM.h``:
+YAML config -> env bridging -> calibration -> backend wiring (one SuperPoint
+shared by L/R, one LightGlue shared by front-end + estimator, a dedicated
+matcher instance for the loop thread), stereo-vs-RGB-D mode selection keyed
+on the presence of ``DepthMapFactor``, optional loop closure gated on
+``SUPERSLAM_ENABLE_LOOP`` + a ``loop:`` config block, trajectory
+bookkeeping, and KITTI/TUM export.
+
+Note on "dedicated loop matcher": the reference needs a second TensorRT
+execution context because contexts are not thread-safe
+(``src/SuperSLAM.cc:130-143``). Jitted JAX programs are pure functions and
+thread-safe, but the loop worker still gets its OWN LightGlueMatcher
+instance so its (potentially different) image size and capacity never
+interact with tracking — and the compiled program cache is shared
+naturally, mirroring the engine-shared/context-exclusive design.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import Config, apply_tuning_overrides, read_calib, read_dist_coeffs
+from .core.loop_closer import LoopCloser, LoopParams
+from .core.vo_estimator import VoEstimator
+from .frontend.extractor import SuperPointExtractor
+from .frontend.matcher import LightGlueMatcher
+from .frontend.recognizer import EigenPlacesRecognizer
+from .frontend.rgbd_frontend import RgbdFrontEnd
+from .frontend.stereo_frontend import StereoFrontEnd
+from .geometry.se3 import Pose3
+from .io.trajectory import save_map_ply, save_trajectory_kitti, save_trajectory_tum
+from .models.eigenplaces import init_eigenplaces_params
+from .models.lightglue import init_lightglue_params
+from .models.superpoint import init_superpoint_params
+from .models.weights import load_params
+from .utils.logging import get_logger
+
+
+class SuperSLAM:
+    def __init__(self, config_path: str, use_viewer: bool = False):
+        log = get_logger()
+        cfg = Config.load(config_path)
+        self.cfg = cfg
+        apply_tuning_overrides(cfg)
+        self.calib = read_calib(cfg)
+
+        model_dir = str(cfg.get("SuperPoint.model_dir", "weights/"))
+        sp_max_kp = int(cfg.get("superpoint.max_keypoints", 1024))
+        sp_thresh = float(cfg.get("superpoint.keypoint_threshold", 0.005))
+        sp_borders = int(cfg.get("superpoint.remove_borders", 4))
+        lg_w = int(cfg.get("lightglue.image_width", cfg.get("Camera.width", 640)))
+        lg_h = int(cfg.get("lightglue.image_height", cfg.get("Camera.height", 480)))
+
+        def weights(block: str, default_name: str) -> str | None:
+            name = cfg.get(f"{block}.weights_file", default_name)
+            return os.path.join(model_dir, name) if name else None
+
+        sp_params = load_params(
+            weights("superpoint", "superpoint_v1.safetensors"),
+            lambda: init_superpoint_params(),
+        )
+        lg_params = load_params(
+            weights("lightglue", "lightglue_superpoint.safetensors"),
+            lambda: init_lightglue_params(),
+        )
+
+        # One extractor shared by L/R; one matcher shared by front-end and
+        # estimator (SuperSLAM.cc:82-87).
+        self.extractor = SuperPointExtractor(
+            sp_params,
+            width=lg_w,
+            height=lg_h,
+            max_keypoints=sp_max_kp,
+            keypoint_threshold=sp_thresh,
+            remove_borders=sp_borders,
+        )
+        self.matcher = LightGlueMatcher(
+            lg_params, image_width=lg_w, image_height=lg_h, max_keypoints=sp_max_kp
+        )
+
+        # Stereo vs RGB-D keyed on DepthMapFactor (SuperSLAM.cc:89-108).
+        self._rgbd = cfg.has("DepthMapFactor")
+        if self._rgbd:
+            depth_factor = float(cfg.get("DepthMapFactor"))
+            max_depth = float(cfg.get("ThDepth", 40.0)) * self.calib.baseline
+            self.rgbd_frontend = RgbdFrontEnd(
+                self.extractor,
+                self.calib,
+                depth_factor,
+                max_depth,
+                read_dist_coeffs(cfg),
+            )
+            self.frontend = None
+        else:
+            self.frontend = StereoFrontEnd(self.extractor, self.matcher, self.calib)
+            self.rgbd_frontend = None
+
+        window_size = int(cfg.get("Backend.window_size", 0) or 0)
+        self.estimator = VoEstimator(self.matcher, self.calib, window_size)
+        self.estimator.set_keyframe_params(
+            float(cfg.get("KeyFrame.covis_ratio", 0.7)),
+            int(cfg.get("KeyFrame.max_frames", 20)),
+        )
+
+        # Optional pose-graph loop closure (SuperSLAM.cc:119-143).
+        self.loop_enabled = False
+        if os.environ.get("SUPERSLAM_ENABLE_LOOP") and cfg.get("loop") is not None:
+            try:
+                ep_params = load_params(
+                    weights("loop", "eigenplaces_resnet18_512.safetensors"),
+                    lambda: init_eigenplaces_params(),
+                )
+                recognizer = EigenPlacesRecognizer(
+                    ep_params, image_size=int(cfg.get("loop.image_width", 512))
+                )
+                # Dedicated matcher instance for the loop worker.
+                loop_matcher = LightGlueMatcher(
+                    lg_params,
+                    image_width=lg_w,
+                    image_height=lg_h,
+                    max_keypoints=sp_max_kp,
+                )
+                params = LoopParams()
+                if cfg.get("loop.min_inliers") is not None:
+                    params.min_inliers = int(cfg.get("loop.min_inliers"))
+                if cfg.get("loop.min_score") is not None:
+                    params.min_score = float(cfg.get("loop.min_score"))
+                lc = LoopCloser(loop_matcher, self.calib, recognizer, params)
+                self.estimator.enable_loop_closure(lc, async_=True)
+                self.loop_enabled = True
+            except Exception as e:  # degrade gracefully (SuperSLAM.cc:126-135)
+                log.error("loop closure init failed (%s); continuing VO-only", e)
+
+        self.viewer = None
+        if use_viewer:
+            try:
+                from .io.viewer import RerunViewer
+
+                self.viewer = RerunViewer()
+            except Exception as e:
+                log.warning("viewer unavailable: %s", e)
+
+        self._timestamps: list[float] = []
+        self._live_poses: list[Pose3] = []
+
+    # -- tracking -------------------------------------------------------------
+    def track_stereo(
+        self, left: np.ndarray, right: np.ndarray, timestamp: float
+    ) -> np.ndarray:
+        """Track one stereo pair; returns the 4x4 Tcw matrix (the reference's
+        cv::Mat contract, SuperSLAM.cc:155-171)."""
+        frame = self.frontend.process(left, right, timestamp)
+        gray = left if self.loop_enabled else None
+        pose = self.estimator.track(frame, gray)
+        self._timestamps.append(timestamp)
+        self._live_poses.append(pose)
+        if self.viewer is not None:
+            self.viewer.draw_frame(frame, pose, self.calib)
+        return pose.inverse().matrix()
+
+    def track_rgbd(
+        self, gray: np.ndarray, depth: np.ndarray, timestamp: float
+    ) -> np.ndarray:
+        frame = self.rgbd_frontend.process(gray, depth, timestamp)
+        img = gray if self.loop_enabled else None
+        pose = self.estimator.track(frame, img)
+        self._timestamps.append(timestamp)
+        self._live_poses.append(pose)
+        if self.viewer is not None:
+            self.viewer.draw_frame(frame, pose, self.calib)
+        return pose.inverse().matrix()
+
+    # -- outputs --------------------------------------------------------------
+    def loop_closure_count(self) -> int:
+        return self.estimator.loop_closure_count()
+
+    def save_trajectory(self, path: str, fmt: str = "kitti") -> None:
+        self.estimator.stop_loop_worker()
+        traj = self.estimator.corrected_trajectory()
+        if fmt.lower() == "kitti":
+            save_trajectory_kitti(path, traj)
+        elif fmt.lower() == "tum":
+            save_trajectory_tum(path, traj, self._timestamps)
+        else:
+            raise ValueError(f"unknown trajectory format: {fmt}")
+
+    def save_map(self, path: str) -> None:
+        self.estimator.stop_loop_worker()
+        cloud = self.estimator.map.cloud(self.estimator.anchors())
+        save_map_ply(path, cloud)
+
+    def shutdown(self) -> None:
+        self.estimator.stop_loop_worker()
+        if self.viewer is not None:
+            self.viewer.close()

@@ -1,0 +1,124 @@
+"""End-to-end facade test: real jitted SuperPoint + LightGlue (random
+weights) behind the full StereoFrontEnd -> VoEstimator pipeline, driven
+through the SuperSLAM facade exactly like the reference examples drive
+``track_stereo`` (examples/stereo/kitti.cc:110). Accuracy is not asserted
+(no pretrained weights in this environment) — the contracts are: correct
+shapes, finite poses, env/YAML precedence, and trajectory/map export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from superslam_tpu.slam import SuperSLAM
+
+CONFIG = """
+Camera.fx: 80.0
+Camera.fy: 80.0
+Camera.cx: 80.0
+Camera.cy: 60.0
+Camera.bf: 8.0
+Camera.width: 160
+Camera.height: 120
+ThDepth: 35
+
+SuperPoint.model_dir: "/nonexistent-weights/"
+superpoint:
+  max_keypoints: 128
+  keypoint_threshold: 0.0005
+  remove_borders: 4
+lightglue:
+  image_width: 160
+  image_height: 120
+Backend.window_size: 4
+Tracking.min_matches: 10
+KeyFrame.covis_ratio: 0.7
+KeyFrame.max_frames: 5
+"""
+
+
+@pytest.fixture(scope="module")
+def config_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "test.yaml"
+    p.write_text(CONFIG)
+    return str(p)
+
+
+def synth_pair(rng, shift=4):
+    """Textured random image; right = left shifted by `shift` px (disparity)."""
+    left = rng.uniform(0, 255, (120, 160)).astype(np.uint8)
+    right = np.roll(left, -shift, axis=1)
+    return left, right
+
+
+def test_stereo_facade_end_to_end(config_path, tmp_path):
+    os.environ.pop("SUPERSLAM_ENABLE_LOOP", None)
+    slam = SuperSLAM(config_path)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        left, right = synth_pair(rng)
+        Tcw = slam.track_stereo(left, right, 0.1 * i)
+        assert Tcw.shape == (4, 4)
+        assert np.isfinite(Tcw).all()
+
+    traj_path = str(tmp_path / "traj.txt")
+    slam.save_trajectory(traj_path, "kitti")
+    lines = open(traj_path).read().strip().splitlines()
+    assert len(lines) == 4
+    assert len(lines[0].split()) == 12
+
+    tum_path = str(tmp_path / "traj_tum.txt")
+    slam.save_trajectory(tum_path, "tum")
+    assert len(open(tum_path).read().strip().splitlines()) == 4
+
+    map_path = str(tmp_path / "map.ply")
+    slam.save_map(map_path)
+    assert open(map_path).read().startswith("ply")
+    slam.shutdown()
+
+
+def test_frontend_frame_contract(config_path):
+    slam = SuperSLAM(config_path)
+    rng = np.random.default_rng(1)
+    left, right = synth_pair(rng)
+    frame = slam.frontend.process(left, right, 0.0)
+    n = len(frame)
+    assert n > 0  # random heatmap still yields top-K keypoints
+    assert frame.keypoints_left.shape == (n, 2)
+    assert frame.stereo.shape == (n, 3)
+    assert frame.has_depth.shape == (n,)
+    # Keypoints inside the true image bounds (not the conv padding).
+    assert (frame.keypoints_left[:, 0] < 160).all()
+    assert (frame.keypoints_left[:, 1] < 120).all()
+    # Monocular rows carry NaN uR; stereo rows satisfy the gates.
+    mono = ~frame.has_depth
+    if mono.any():
+        assert np.isnan(frame.stereo[mono, 1]).all()
+    if frame.has_depth.any():
+        disp = frame.stereo[frame.has_depth, 0] - frame.stereo[frame.has_depth, 1]
+        assert (disp >= 1.0).all()
+    slam.shutdown()
+
+
+def test_rgbd_facade(config_path, tmp_path):
+    cfg = CONFIG + "\nDepthMapFactor: 5000.0\n"
+    p = tmp_path / "rgbd.yaml"
+    p.write_text(cfg)
+    slam = SuperSLAM(str(p))
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        gray = rng.uniform(0, 255, (120, 160)).astype(np.uint8)
+        depth = (rng.uniform(0.5, 3.0, (120, 160)) * 5000).astype(np.uint16)
+        Tcw = slam.track_rgbd(gray, depth, 0.1 * i)
+        assert np.isfinite(Tcw).all()
+    slam.shutdown()
+
+
+def test_env_overrides_yaml(config_path):
+    """Env var set before construction must win over the YAML value."""
+    os.environ["SUPERSLAM_TRACK_MIN_MATCHES"] = "42"
+    try:
+        SuperSLAM(config_path)
+        assert os.environ["SUPERSLAM_TRACK_MIN_MATCHES"] == "42"
+    finally:
+        del os.environ["SUPERSLAM_TRACK_MIN_MATCHES"]
