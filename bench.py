@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: per-frame stereo SLAM tracking rate on KITTI-shaped frames.
+
+Mirrors the reference benchmark binary
+(``/root/reference/examples/stereo/benchmark.cc:96-107``): per-frame
+latency percentiles over ``track_stereo`` plus sustained fps over wall
+clock, on the KITTI 00 camera geometry (1241x376, fx=718.856, bf=386.1448)
+with the KITTI00 config's max_keypoints=600 front-end. The reference's
+KITTI 00 number on its RTX PRO 1000 / TensorRT FP16 baseline is 79 fps
+(BASELINE.md), which is what ``vs_baseline`` is measured against.
+
+Frames are synthetic (no datasets are bundled in this environment): a
+textured random pattern, right image disparity-shifted, a slow drift over
+time so frame-to-keyframe matching runs the real code path. Model weights
+are random — identical compute to pretrained weights, so timing is
+representative even though the trajectory is not evaluable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 79.0  # reference KITTI 00, README.md:23
+WIDTH, HEIGHT = 1241, 376
+N_WARMUP = 5
+N_FRAMES = 60
+
+
+def make_slam():
+    from superslam_tpu.core.vo_estimator import VoEstimator
+    from superslam_tpu.frontend.fused import FusedStereoPipeline
+    from superslam_tpu.frontend.matcher import LightGlueMatcher
+    from superslam_tpu.geometry.stereo_camera import StereoCalib
+    from superslam_tpu.models.lightglue import init_lightglue_params
+    from superslam_tpu.models.superpoint import init_superpoint_params
+
+    calib = StereoCalib(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, baseline=386.1448 / 718.856
+    )
+    sp_params = init_superpoint_params(0)
+    lg_params = init_lightglue_params(0)
+    max_kp = 600  # KITTI00-02.yaml superpoint.max_keypoints
+    pipeline = FusedStereoPipeline(
+        sp_params,
+        lg_params,
+        calib,
+        width=WIDTH,
+        height=HEIGHT,
+        max_keypoints=max_kp,
+        keypoint_threshold=0.0005,
+    )
+    matcher = LightGlueMatcher(
+        lg_params, image_width=WIDTH, image_height=HEIGHT, max_keypoints=max_kp
+    )
+    estimator = VoEstimator(matcher, calib, window_size=10)
+    return pipeline, estimator
+
+
+def synth_sequence(n: int, seed: int = 0):
+    """Drifting textured pattern; right = disparity-shifted left."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (HEIGHT + 64, WIDTH + 64)).astype(np.float32)
+    # Smooth the noise a little so keypoints are not all border artifacts.
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1) + np.roll(base, 2, 1)) / 4
+    frames = []
+    for i in range(n):
+        dx, dy = (2 * i) % 64, (i) % 64
+        left = base[dy : dy + HEIGHT, dx : dx + WIDTH].astype(np.uint8)
+        right = np.roll(left, -8, axis=1)
+        frames.append((left, right))
+    return frames
+
+
+def main() -> None:
+    from superslam_tpu.frontend.pipelined import PipelinedStereoTracker
+
+    pipeline, estimator = make_slam()
+    tracker = PipelinedStereoTracker(pipeline, estimator, depth=3)
+    frames = synth_sequence(N_WARMUP + N_FRAMES)
+
+    # Warmup: compile the fused program and settle caches.
+    for i in range(N_WARMUP):
+        l, r = frames[i]
+        tracker.track(l, r, 0.1 * i)
+
+    lat = []
+    t_start = time.perf_counter()
+    for i in range(N_WARMUP, N_WARMUP + N_FRAMES):
+        l, r = frames[i]
+        t0 = time.perf_counter()
+        tracker.track(l, r, 0.1 * i)
+        lat.append(time.perf_counter() - t0)
+    tracker.flush()
+    total = time.perf_counter() - t_start
+
+    lat_ms = np.array(lat) * 1e3
+    fps = N_FRAMES / total
+    print(
+        f"[bench] frames={N_FRAMES} mean={lat_ms.mean():.2f}ms "
+        f"p50={np.percentile(lat_ms, 50):.2f}ms p95={np.percentile(lat_ms, 95):.2f}ms "
+        f"max={lat_ms.max():.2f}ms sustained={fps:.1f}fps",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "kitti00_stereo_tracking_fps",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

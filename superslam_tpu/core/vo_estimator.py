@@ -38,7 +38,7 @@ from ..utils.env import env_float, env_int
 from ..utils.profiler import profile_scope
 from .frame import StereoFrame
 from .frame_tracker import FrameTracker, PointObs
-from .interfaces import FeatureMatcher
+from .interfaces import FeatureMatcher, MatchResult
 from .keyframe_gate import should_insert_keyframe
 from .keyframes import KeyframeRecord
 from .loop_closer import LoopCloser
@@ -90,6 +90,11 @@ class VoEstimator:
         self._max_keyframe_frames = 20
         self._last_keyframe: StereoFrame | None = None
         self._last_kf_feature_to_landmark: dict[int, int] = {}
+        # Retained recent keyframes for pipelined tracking: a frame whose
+        # device program was dispatched just before a keyframe insertion may
+        # carry matches against the PREVIOUS keyframe; the estimator resolves
+        # them against the keyframe they were actually computed from.
+        self._kf_store: dict[int, tuple[StereoFrame, dict[int, int]]] = {}
         self._next_keyframe_id = 0
         self._global_landmark_id = 0
 
@@ -159,25 +164,54 @@ class VoEstimator:
         return out
 
     # -- tracking ------------------------------------------------------------
-    def track(self, frame: StereoFrame, left_gray: np.ndarray | None = None) -> Pose3:
+    def track(
+        self,
+        frame: StereoFrame,
+        left_gray: np.ndarray | None = None,
+        kf_matches: "MatchResult | None" = None,
+        kf_ref_id: int | None = None,
+    ) -> Pose3:
+        """Track one frame. `kf_matches` optionally carries precomputed
+        frame-to-keyframe matches (the fused device pipeline computes them in
+        the same XLA program as extraction); when absent the estimator calls
+        the matcher itself, as the reference does (VoEstimator.cc:242-247).
+        `kf_ref_id` names the keyframe the precomputed matches refer to — in
+        pipelined mode it may lag the newest keyframe by one insertion."""
         with profile_scope("vo_track_total"):
-            return self._track(frame, left_gray)
+            return self._track(frame, left_gray, kf_matches, kf_ref_id)
 
-    def _track(self, frame: StereoFrame, left_gray: np.ndarray | None) -> Pose3:
+    def _track(
+        self,
+        frame: StereoFrame,
+        left_gray: np.ndarray | None,
+        kf_matches: "MatchResult | None",
+        kf_ref_id: int | None = None,
+    ) -> Pose3:
         n = len(frame)
 
         if not self._has_keyframe:
             return self._init_first_keyframe(frame, left_gray)
 
-        # Match current frame to the last keyframe (query=KF, train=frame).
+        # Match current frame to the reference keyframe (query=KF, train=frame).
         kf = self._last_keyframe
-        with profile_scope("vo_lg_track_match"):
-            m = self.matcher.match(
-                kf.keypoints_left,
-                kf.descriptors_left,
-                frame.keypoints_left,
-                frame.descriptors_left,
-            )
+        kf_f2l = self._last_kf_feature_to_landmark
+        if (
+            kf_matches is not None
+            and kf_ref_id is not None
+            and kf_ref_id != self._last_keyframe_id
+            and kf_ref_id in self._kf_store
+        ):
+            kf, kf_f2l = self._kf_store[kf_ref_id]
+        if kf_matches is not None:
+            m = kf_matches
+        else:
+            with profile_scope("vo_lg_track_match"):
+                m = self.matcher.match(
+                    kf.keypoints_left,
+                    kf.descriptors_left,
+                    frame.keypoints_left,
+                    frame.descriptors_left,
+                )
 
         # Correspondences with depth on both ends; carry landmark ids.
         frame_matched_landmark: dict[int, int] = {}
@@ -193,7 +227,7 @@ class VoEstimator:
             kf_idx_list = ki.tolist()
             fr_idx_list = fi.tolist()
             for kidx, fidx in zip(kf_idx_list, fr_idx_list):
-                lm = self._last_kf_feature_to_landmark.get(kidx)
+                lm = kf_f2l.get(kidx)
                 if lm is not None:
                     frame_matched_landmark[fidx] = lm
 
@@ -225,7 +259,7 @@ class VoEstimator:
         # Keyframe gate + insertion.
         self._frames_since_keyframe += 1
         covis = env_float("SUPERSLAM_KF_COVIS", self._covisibility_ratio)
-        reference_features = len(self._last_kf_feature_to_landmark)
+        reference_features = len(kf_f2l)
         if should_insert_keyframe(
             n_matches,
             reference_features,
@@ -250,6 +284,13 @@ class VoEstimator:
         return live
 
     # -- internals -------------------------------------------------------------
+    def _retain_keyframe(
+        self, kf_id: int, frame: StereoFrame, f2l: dict[int, int]
+    ) -> None:
+        self._kf_store[kf_id] = (frame, f2l)
+        while len(self._kf_store) > 2:
+            self._kf_store.pop(next(iter(self._kf_store)))
+
     def _feature_to_landmark_obs(
         self, frame: StereoFrame, feature_to_landmark: dict[int, int]
     ) -> list[StereoObs]:
@@ -287,6 +328,7 @@ class VoEstimator:
         self._last_keyframe = frame
         self._last_kf_feature_to_landmark = feature_to_landmark
         self._has_keyframe = True
+        self._retain_keyframe(self._last_keyframe_id, frame, feature_to_landmark)
 
         self.map.add_keyframe(self._last_keyframe_id, self._backproject_stereo(frame))
         self._seed_anchors[self._last_keyframe_id] = origin
@@ -335,6 +377,7 @@ class VoEstimator:
         self._last_kf_feature_to_landmark = feature_to_landmark
         self._last_keyframe = frame
         self._last_keyframe.pose = frame_pose  # Twc for next-frame backprojection
+        self._retain_keyframe(keyframe_id, frame, feature_to_landmark)
 
         self.map.add_keyframe(keyframe_id, self._backproject_stereo(frame))
         self._seed_anchors[keyframe_id] = frame_pose

@@ -25,6 +25,7 @@ class PaddedFeatures:
     n: int  # number of valid rows
     width: int  # image size the keypoints live in (for normalization)
     height: int
+    valid: Any = None  # optional (K,) bool jax.Array (device-side mask)
 
     @property
     def capacity(self) -> int:

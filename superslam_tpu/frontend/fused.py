@@ -1,0 +1,140 @@
+"""Fused stereo tracking pipeline: one device dispatch + one readback per
+frame.
+
+Wraps ops.frontend_step.fused_stereo_step with the host-side state it
+needs: the last keyframe's device-resident features (the program's own
+outputs from the frame that became a keyframe) and the packed-buffer
+decode. Produces the same (StereoFrame, frame-to-keyframe MatchResult)
+pair the unfused StereoFrontEnd + matcher.match path produces — the
+estimator cannot tell the difference (tested for equivalence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.frame import StereoFrame
+from ..core.interfaces import MatchResult
+from ..geometry.stereo_camera import StereoCalib
+from ..ops.frontend_step import fused_stereo_step
+from ..utils.profiler import profile_scope
+from .extractor import pad_to_multiple
+from .features import PaddedFeatures
+
+
+class FusedStereoPipeline:
+    def __init__(
+        self,
+        sp_params,
+        lg_params,
+        calib: StereoCalib,
+        width: int,
+        height: int,
+        max_keypoints: int = 600,
+        keypoint_threshold: float = 0.005,
+        remove_borders: int = 4,
+        nms_radius: int = 4,
+        min_disparity: float = 1.0,
+        match_threshold: float = 0.1,
+    ):
+        self.sp_params = sp_params
+        self.lg_params = lg_params
+        self.calib = calib
+        self.width = int(width)
+        self.height = int(height)
+        self.pad_w = pad_to_multiple(self.width)
+        self.pad_h = pad_to_multiple(self.height)
+        self.K = int(max_keypoints)
+        self.keypoint_threshold = float(keypoint_threshold)
+        self.remove_borders = int(remove_borders)
+        self.nms_radius = int(nms_radius)
+        self.min_disparity = float(min_disparity)
+        self.match_threshold = float(match_threshold)
+
+        # Last-keyframe device state (zeros until the first keyframe lands).
+        self._kf_kpts = jnp.zeros((self.K, 2), jnp.float32)
+        self._kf_desc = jnp.zeros((self.K, 256), jnp.float32)
+        self._kf_valid = jnp.zeros((self.K,), bool)
+
+    def _prepare(self, left: np.ndarray, right: np.ndarray) -> jnp.ndarray:
+        """uint8 (2, padH, padW) batch — uint8 upload is 4x cheaper over the
+        host link; normalization happens on device."""
+        batch = np.zeros((2, self.pad_h, self.pad_w), np.uint8)
+        for i, img in enumerate((left, right)):
+            a = np.asarray(img)
+            if a.ndim == 3:
+                a = (a @ np.array([0.114, 0.587, 0.299], np.float32)).astype(np.uint8)
+            if a.dtype != np.uint8:
+                a = np.clip(a * (255.0 if a.max() <= 1.5 else 1.0), 0, 255).astype(
+                    np.uint8
+                )
+            h, w = a.shape
+            batch[i, : min(h, self.pad_h), : min(w, self.pad_w)] = a[
+                : self.pad_h, : self.pad_w
+            ]
+        return jnp.asarray(batch)
+
+    def process(
+        self, left: np.ndarray, right: np.ndarray, timestamp: float
+    ) -> tuple[StereoFrame, MatchResult]:
+        with profile_scope("fe_extract_stereo"):
+            images = self._prepare(left, right)
+            packed, desc_dev, kpts_dev, valid_dev = fused_stereo_step(
+                self.sp_params,
+                self.lg_params,
+                images,
+                self._kf_kpts,
+                self._kf_desc,
+                self._kf_valid,
+                max_keypoints=self.K,
+                keypoint_threshold=self.keypoint_threshold,
+                remove_borders=self.remove_borders,
+                nms_radius=self.nms_radius,
+                true_width=self.width,
+                true_height=self.height,
+                min_disparity=self.min_disparity,
+                match_threshold=self.match_threshold,
+            )
+            p = np.asarray(packed)  # the ONE host readback this frame
+
+        n = int(p[3].sum())
+        stereo = np.empty((n, 3))
+        stereo[:, 0] = p[0, :n]
+        stereo[:, 2] = p[1, :n]
+        stereo_ok = p[6, :n] > 0
+        stereo[:, 1] = np.where(stereo_ok, p[5, :n], np.nan)
+
+        frame = StereoFrame(
+            timestamp=timestamp,
+            keypoints_left=np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float32),
+            descriptors_left=PaddedFeatures(
+                kpts=kpts_dev,
+                desc=desc_dev,
+                n=n,
+                width=self.width,
+                height=self.height,
+                valid=valid_dev,
+            ),
+            stereo=stereo,
+            has_depth=stereo_ok,
+            scores=p[2, :n].astype(np.float32),
+        )
+
+        track_idx = p[7].astype(np.int32)
+        qi = np.flatnonzero(track_idx >= 0).astype(np.int32)
+        kf_matches = MatchResult(
+            matches=np.stack([qi, track_idx[qi]], axis=1),
+            scores=p[8, qi].astype(np.float32),
+        )
+        return frame, kf_matches
+
+    def set_keyframe(self, feats: PaddedFeatures) -> None:
+        """Adopt a frame's device-resident features as the new keyframe."""
+        self._kf_kpts = feats.kpts
+        self._kf_desc = feats.desc
+        if feats.valid is not None:
+            self._kf_valid = feats.valid
+        else:
+            self._kf_valid = jnp.asarray(np.arange(self.K) < feats.n)

@@ -1,0 +1,175 @@
+"""Depth-2 software-pipelined stereo tracking.
+
+The host link to this TPU has a ~30 ms round-trip on every fresh
+device->host read, while the fused per-frame program itself costs ~15 ms of
+device time — so a fully synchronous loop is RTT-bound at ~25-30 fps no
+matter how fast the kernels get. This wrapper hides the RTT the way the
+hardware wants:
+
+  submit(frame N):  H2D + dispatch the fused program + start an async
+                    device->host copy of the packed result, then return.
+  (frame N's transfer and compute overlap frame N-1's host-side work and
+   the caller's image loading.)
+  drain():          block on the oldest in-flight packed buffer (usually
+                    already resident), decode it, run the host estimator.
+
+The estimator still sees every frame, in order, with full data — only the
+pose RETURNED at submit time is the constant-velocity prediction for the
+newest frame (its exact pose lands one call later, and
+corrected_trajectory() is exact throughout). Keyframe causality is kept
+honest by tagging each in-flight frame with the keyframe id its track-match
+was computed against; the estimator resolves lagged tags from its retained
+keyframe store (VoEstimator._kf_store).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from ..core.vo_estimator import VoEstimator
+from ..geometry.se3 import Pose3
+from .features import PaddedFeatures
+from .fused import FusedStereoPipeline
+
+
+@dataclass
+class _InFlight:
+    timestamp: float
+    packed: "Future[np.ndarray]"  # background D2H of the packed buffer
+    desc: Any
+    kpts: Any
+    valid: Any
+    kf_ref_id: int | None
+    left_gray: np.ndarray | None
+
+
+class PipelinedStereoTracker:
+    def __init__(
+        self,
+        pipeline: FusedStereoPipeline,
+        estimator: VoEstimator,
+        depth: int = 2,
+        keep_gray: bool = False,
+    ):
+        self.pipeline = pipeline
+        self.estimator = estimator
+        self.depth = max(1, int(depth))
+        self.keep_gray = keep_gray
+        self._pending: deque[_InFlight] = deque()
+        self._last_pose = Pose3()
+        self._last_rel = Pose3()
+        self._have_kf = False
+        # Background D2H workers: each fetch pays the host-link round trip,
+        # so several must be in flight at once for the latency to overlap
+        # with device compute (numpy conversion releases the GIL).
+        self._fetchers = ThreadPoolExecutor(
+            max_workers=max(2, self.depth), thread_name_prefix="d2h-fetch"
+        )
+
+    # -- pipeline ------------------------------------------------------------
+    def submit(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> None:
+        pl = self.pipeline
+        images = pl._prepare(left, right)
+        from ..ops.frontend_step import fused_stereo_step
+
+        packed, desc, kpts, valid = fused_stereo_step(
+            pl.sp_params,
+            pl.lg_params,
+            images,
+            pl._kf_kpts,
+            pl._kf_desc,
+            pl._kf_valid,
+            max_keypoints=pl.K,
+            keypoint_threshold=pl.keypoint_threshold,
+            remove_borders=pl.remove_borders,
+            nms_radius=pl.nms_radius,
+            true_width=pl.width,
+            true_height=pl.height,
+            min_disparity=pl.min_disparity,
+            match_threshold=pl.match_threshold,
+        )
+        kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
+        self._pending.append(
+            _InFlight(
+                timestamp,
+                self._fetchers.submit(np.asarray, packed),
+                desc,
+                kpts,
+                valid,
+                kf_ref,
+                np.array(left, copy=True) if self.keep_gray else None,
+            )
+        )
+
+    def drain_one(self) -> Pose3 | None:
+        if not self._pending:
+            return None
+        item = self._pending.popleft()
+        frame, kf_matches = self._decode(item)
+        prev = self._last_pose
+        pose = self.estimator.track(
+            frame,
+            item.left_gray,
+            kf_matches=kf_matches if item.kf_ref_id is not None else None,
+            kf_ref_id=item.kf_ref_id,
+        )
+        if self.estimator._last_keyframe is frame:
+            self.pipeline.set_keyframe(frame.descriptors_left)
+        self._last_rel = prev.between(pose)
+        self._last_pose = pose
+        self._have_kf = True
+        return pose
+
+    def _decode(self, item: _InFlight):
+        from ..core.frame import StereoFrame
+        from ..core.interfaces import MatchResult
+
+        p = item.packed.result()
+        n = int(p[3].sum())
+        stereo = np.empty((n, 3))
+        stereo[:, 0] = p[0, :n]
+        stereo[:, 2] = p[1, :n]
+        ok = p[6, :n] > 0
+        stereo[:, 1] = np.where(ok, p[5, :n], np.nan)
+        frame = StereoFrame(
+            timestamp=item.timestamp,
+            keypoints_left=np.stack([p[0, :n], p[1, :n]], 1).astype(np.float32),
+            descriptors_left=PaddedFeatures(
+                kpts=item.kpts,
+                desc=item.desc,
+                n=n,
+                width=self.pipeline.width,
+                height=self.pipeline.height,
+                valid=item.valid,
+            ),
+            stereo=stereo,
+            has_depth=ok,
+            scores=p[2, :n].astype(np.float32),
+        )
+        ti = p[7].astype(np.int32)
+        qi = np.flatnonzero(ti >= 0).astype(np.int32)
+        matches = MatchResult(
+            matches=np.stack([qi, ti[qi]], 1), scores=p[8, qi].astype(np.float32)
+        )
+        return frame, matches
+
+    # -- public API ------------------------------------------------------------
+    def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Pose3:
+        """Submit this frame; drain until at most depth-1 remain in flight.
+        Returns the constant-velocity prediction for THIS frame (exact pose
+        lands on the next call; corrected_trajectory() is always exact)."""
+        self.submit(left, right, timestamp)
+        while len(self._pending) >= self.depth:
+            self.drain_one()
+        return self._last_pose * self._last_rel
+
+    def flush(self) -> Pose3:
+        """Drain everything in flight; returns the last exact pose."""
+        while self._pending:
+            self.drain_one()
+        return self._last_pose

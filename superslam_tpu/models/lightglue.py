@@ -129,6 +129,33 @@ def _self_block(x, enc, mask, params, prefix, dtype):
     return _ffn(x, message, params, f"{prefix}.ffn", dtype)
 
 
+def _cross_block_paired(x, mask, params, prefix, dtype):
+    """Cross-attention over interleaved pair rows: (2P, K, D) where rows
+    (2p, 2p+1) attend each other. One set of projections for all rows; the
+    similarity is computed once per pair and used in both directions."""
+    qk = _split_heads(_linear(x, params, f"{prefix}.to_qk", dtype))  # (2P,H,K,Dh)
+    v = _split_heads(_linear(x, params, f"{prefix}.to_v", dtype))
+    p2, h, k, dh = qk.shape
+    qk = qk.reshape(p2 // 2, 2, h, k, dh)
+    v = v.reshape(p2 // 2, 2, h, k, dh)
+    m = mask.reshape(p2 // 2, 2, k)
+    scale = 1.0 / np.sqrt(HEAD_DIM)
+    sim = jnp.einsum(
+        "phid,phjd->phij", qk[:, 0], qk[:, 1], preferred_element_type=jnp.float32
+    ) * scale
+    sim01 = jnp.where(m[:, 1][:, None, None, :], sim, NEG)
+    sim10 = jnp.where(m[:, 0][:, None, None, :], sim.transpose(0, 1, 3, 2), NEG)
+    m0 = jnp.einsum(
+        "phij,phjd->phid", jax.nn.softmax(sim01, axis=-1).astype(v.dtype), v[:, 1]
+    )
+    m1 = jnp.einsum(
+        "phij,phjd->phid", jax.nn.softmax(sim10, axis=-1).astype(v.dtype), v[:, 0]
+    )
+    msg = jnp.stack([m0, m1], axis=1).reshape(p2, h, k, dh)
+    msg = _linear(_merge_heads(msg), params, f"{prefix}.to_out", dtype)
+    return _ffn(x, msg, params, f"{prefix}.ffn", dtype)
+
+
 def _cross_block(x0, x1, mask0, mask1, params, prefix, dtype):
     qk0 = _split_heads(_linear(x0, params, f"{prefix}.to_qk", dtype))
     qk1 = _split_heads(_linear(x1, params, f"{prefix}.to_qk", dtype))
@@ -186,20 +213,39 @@ def lightglue_forward(
 
     kpts already normalized to ~[-1, 1]; desc L2-normalized rows; masks mark
     real (non-padding) keypoints.
+
+    Implementation: both sides of every pair problem are stacked on the batch
+    axis so each self-attention layer is ONE (2B, K, D) call instead of two —
+    on TPU the transformer's GEMMs are latency-bound at SLAM sizes (K~600,
+    D=256), so halving the op count matters more than the FLOPs.
     """
-    x0 = _linear(desc0, params, "input_proj", compute_dtype)
-    x1 = _linear(desc1, params, "input_proj", compute_dtype)
-    enc0 = _rotary_encoding(kpts0, params, compute_dtype)
-    enc1 = _rotary_encoding(kpts1, params, compute_dtype)
+    b = desc0.shape[0]
+    m_len, n_len = desc0.shape[1], desc1.shape[1]
+    K = max(m_len, n_len)
+
+    def pad_to(a, k):
+        if a.shape[1] == k:
+            return a
+        widths = [(0, 0), (0, k - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, widths)
+
+    kpts0p, desc0p, mask0p = pad_to(kpts0, K), pad_to(desc0, K), pad_to(mask0, K)
+    kpts1p, desc1p, mask1p = pad_to(kpts1, K), pad_to(desc1, K), pad_to(mask1, K)
+    # Interleave sides: rows (2p, 2p+1) = (side0, side1) of pair p.
+    x = jnp.stack([desc0p, desc1p], axis=1).reshape(2 * b, K, -1)
+    kpts = jnp.stack([kpts0p, kpts1p], axis=1).reshape(2 * b, K, 2)
+    mask = jnp.stack([mask0p, mask1p], axis=1).reshape(2 * b, K)
+
+    x = _linear(x, params, "input_proj", compute_dtype)
+    enc = _rotary_encoding(kpts, params, compute_dtype)
 
     for i in range(NUM_LAYERS):
         p = f"transformers.{i}"
-        x0 = _self_block(x0, enc0, mask0, params, f"{p}.self_attn", compute_dtype)
-        x1 = _self_block(x1, enc1, mask1, params, f"{p}.self_attn", compute_dtype)
-        x0, x1 = _cross_block(
-            x0, x1, mask0, mask1, params, f"{p}.cross_attn", compute_dtype
-        )
+        x = _self_block(x, enc, mask, params, f"{p}.self_attn", compute_dtype)
+        x = _cross_block_paired(x, mask, params, f"{p}.cross_attn", compute_dtype)
 
+    x0 = x[0::2, :m_len]
+    x1 = x[1::2, :n_len]
     # Early-exit disabled: only the final layer's assignment head is used
     # (matches the export contract, convert_lightglue_to_onnx.py:73-74).
     return _log_assignment(
@@ -220,12 +266,14 @@ def extract_matches(
     (src/LightGlue.cc:326-363).
     """
     p = log_assignment  # (B, M, N)
-    m0 = jnp.argmax(p, axis=2).astype(jnp.int32)  # (B, M)
-    m1 = jnp.argmax(p, axis=1).astype(jnp.int32)  # (B, N)
+    m0 = jnp.argmax(p, axis=2).astype(jnp.int32)  # (B, M) minor-dim argmax
     max0 = jnp.max(p, axis=2)
-    # Mutual check: m1[m0[i]] == i.
-    inds = jnp.arange(p.shape[1], dtype=jnp.int32)[None]
-    mutual = jnp.take_along_axis(m1, m0, axis=1) == inds
+    # Mutual check without the (slow on TPU) sublane-axis argmax: row i is
+    # mutual iff its max equals the column max of its chosen column — i.e.
+    # no other row beats it there. Ties are vanishingly rare in f32 logits.
+    max1 = jnp.max(p, axis=1)  # (B, N) reduce, not argmax
+    col_best = jnp.take_along_axis(max1, m0, axis=1)  # (B, M)
+    mutual = max0 >= col_best
     scores = jnp.exp(max0)
     valid = mutual & (scores > threshold) & mask0
     valid = valid & jnp.take_along_axis(mask1, m0, axis=1)

@@ -153,7 +153,12 @@ def select_keypoints(
     scores = jnp.where(border[None], scores, 0.0)
 
     flat = scores.reshape(b, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat, max_keypoints)  # (B, K)
+    # approx_max_k is the TPU-native top-k (hardware-binned); recall target
+    # 0.99 on an NMS'd heatmap loses essentially nothing, and exact top_k's
+    # full sort costs ~2.5 ms at H*W ~ 500k.
+    top_scores, top_idx = jax.lax.approx_max_k(
+        flat, max_keypoints, recall_target=0.99
+    )
     yy = top_idx // w
     xx = top_idx % w
     valid = top_scores > keypoint_threshold

@@ -98,6 +98,21 @@ class SuperSLAM:
         else:
             self.frontend = StereoFrontEnd(self.extractor, self.matcher, self.calib)
             self.rgbd_frontend = None
+            # Hot path: the fused one-dispatch/one-readback pipeline (the
+            # unfused StereoFrontEnd stays for tests and as the reference
+            # structure; both produce identical frames).
+            from .frontend.fused import FusedStereoPipeline
+
+            self.pipeline = FusedStereoPipeline(
+                sp_params,
+                lg_params,
+                self.calib,
+                width=lg_w,
+                height=lg_h,
+                max_keypoints=sp_max_kp,
+                keypoint_threshold=sp_thresh,
+                remove_borders=sp_borders,
+            )
 
         window_size = int(cfg.get("Backend.window_size", 0) or 0)
         self.estimator = VoEstimator(self.matcher, self.calib, window_size)
@@ -153,9 +168,13 @@ class SuperSLAM:
     ) -> np.ndarray:
         """Track one stereo pair; returns the 4x4 Tcw matrix (the reference's
         cv::Mat contract, SuperSLAM.cc:155-171)."""
-        frame = self.frontend.process(left, right, timestamp)
+        frame, kf_matches = self.pipeline.process(left, right, timestamp)
         gray = left if self.loop_enabled else None
-        pose = self.estimator.track(frame, gray)
+        pose = self.estimator.track(frame, gray, kf_matches=kf_matches)
+        # If this frame became the keyframe, its device features become the
+        # pipeline's track-match reference.
+        if self.estimator._last_keyframe is frame:
+            self.pipeline.set_keyframe(frame.descriptors_left)
         self._timestamps.append(timestamp)
         self._live_poses.append(pose)
         if self.viewer is not None:
