@@ -162,12 +162,34 @@ class SuperSLAM:
         self._timestamps: list[float] = []
         self._live_poses: list[Pose3] = []
 
+        # Pipelined tracking (SUPERSLAM_PIPELINE=depth, default on at depth 3
+        # for the stereo path): hides the host-link round trip behind device
+        # compute; per-call return is the constant-velocity prediction and
+        # corrected_trajectory() stays exact. SUPERSLAM_PIPELINE=0 forces the
+        # fully synchronous reference-style loop.
+        self._tracker = None
+        depth = int(os.environ.get("SUPERSLAM_PIPELINE", "3"))
+        if not self._rgbd and depth > 1:
+            from .frontend.pipelined import PipelinedStereoTracker
+
+            self._tracker = PipelinedStereoTracker(
+                self.pipeline,
+                self.estimator,
+                depth=depth,
+                keep_gray=self.loop_enabled,
+            )
+
     # -- tracking -------------------------------------------------------------
     def track_stereo(
         self, left: np.ndarray, right: np.ndarray, timestamp: float
     ) -> np.ndarray:
         """Track one stereo pair; returns the 4x4 Tcw matrix (the reference's
         cv::Mat contract, SuperSLAM.cc:155-171)."""
+        if self._tracker is not None:
+            pose = self._tracker.track(left, right, timestamp)
+            self._timestamps.append(timestamp)
+            self._live_poses.append(pose)
+            return pose.inverse().matrix()
         frame, kf_matches = self.pipeline.process(left, right, timestamp)
         gray = left if self.loop_enabled else None
         pose = self.estimator.track(frame, gray, kf_matches=kf_matches)
@@ -198,6 +220,8 @@ class SuperSLAM:
         return self.estimator.loop_closure_count()
 
     def save_trajectory(self, path: str, fmt: str = "kitti") -> None:
+        if self._tracker is not None:
+            self._tracker.flush()
         self.estimator.stop_loop_worker()
         traj = self.estimator.corrected_trajectory()
         if fmt.lower() == "kitti":
@@ -208,11 +232,15 @@ class SuperSLAM:
             raise ValueError(f"unknown trajectory format: {fmt}")
 
     def save_map(self, path: str) -> None:
+        if self._tracker is not None:
+            self._tracker.flush()
         self.estimator.stop_loop_worker()
         cloud = self.estimator.map.cloud(self.estimator.anchors())
         save_map_ply(path, cloud)
 
     def shutdown(self) -> None:
+        if self._tracker is not None:
+            self._tracker.flush()
         self.estimator.stop_loop_worker()
         if self.viewer is not None:
             self.viewer.close()
