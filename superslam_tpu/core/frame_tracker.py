@@ -58,6 +58,19 @@ class FrameTracker:
             return initial_guess
         disparity = meas[:, 0] - meas[:, 1]
         sigmas = stereo_diag_sigmas(self.sigma_px, disparity, self.calib.bf)
+
+        # Native C++ LM (csrc/): identical factors/damping, ~10x less host
+        # overhead per iteration on this single-core host. SUPERSLAM_NATIVE=0
+        # forces the numpy path (the oracle).
+        import os
+
+        if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
+            from .. import native
+
+            if native.available():
+                return native.pose_only_lm(
+                    Xw, meas, sigmas, self.calib, HUBER_K, initial_guess
+                )
         inv_sig = 1.0 / sigmas
 
         def robust_error(pose: Pose3) -> float:

@@ -118,6 +118,7 @@ def select_keypoints(
     remove_borders: int = 4,
     true_width: int | None = None,
     true_height: int | None = None,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device top-K keypoint selection + nearest-cell descriptor gather.
 
@@ -167,12 +168,19 @@ def select_keypoints(
     cy = jnp.minimum(yy // CELL, gh - 1)
     cx = jnp.minimum(xx // CELL, gw - 1)
     cell = cy * gw + cx  # (B, K)
-    grid = descriptors.reshape(b, gh * gw, -1).astype(jnp.float32)
-    desc = jnp.take_along_axis(grid, cell[..., None], axis=1)  # (B, K, D)
-    # Renormalize (bf16 grid rows are only approximately unit).
-    desc = desc * jax.lax.rsqrt(
-        jnp.sum(jnp.square(desc), axis=-1, keepdims=True) + 1e-12
-    )
+    if use_pallas:
+        from ..ops.pallas.gather import gather_normalize
+
+        desc = jnp.stack(
+            [gather_normalize(descriptors[i], cell[i]) for i in range(b)]
+        )
+    else:
+        grid = descriptors.reshape(b, gh * gw, -1).astype(jnp.float32)
+        desc = jnp.take_along_axis(grid, cell[..., None], axis=1)  # (B, K, D)
+        # Renormalize (bf16 grid rows are only approximately unit).
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(jnp.square(desc), axis=-1, keepdims=True) + 1e-12
+        )
     desc = jnp.where(valid[..., None], desc, 0.0)
 
     kpts = jnp.stack([xx, yy], axis=-1).astype(jnp.float32)

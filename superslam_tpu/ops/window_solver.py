@@ -1,0 +1,150 @@
+"""Windowed-BA reduced camera system as batched XLA linear algebra.
+
+The on-device re-expression of WindowSmoother's variable-projection smart-
+stereo linearization (core/window_smoother.py, itself the equivalent of
+GTSAM's SmartStereoProjectionPoseFactor stack): batched point triangulation
+(GN, poses fixed), per-landmark 3x3 Schur elimination, and scatter-assembly
+of the dense 6K x 6K reduced system — all one jitted program in f32.
+
+The host numpy path is the accuracy oracle (f64) and remains the default:
+on hosts with a high-latency device link the ~per-call round trip dwarfs
+the window's tiny FLOP count, and SLAM's serial keyframe cadence cannot
+amortize it. On a locally-attached chip this program lets the whole
+tracking loop stay on-device. Validated against the numpy linearization in
+tests/test_window_solver.py.
+
+Layout: a window of K poses (R (K,3,3), t (K,3)) and one landmark group of
+track length m: views (L, m) int32, meas (L, m, 3) f32, lm_valid (L,) bool.
+Isotropic measurement sigma; dynamic outlier rejection threshold in px.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline):
+    proj_uL = fx * p[..., 0] * iz + cx
+    proj_uR = fx * (p[..., 0] - baseline) * iz + cx
+    proj_v = fy * p[..., 1] * iz + cy
+    return jnp.stack([proj_uL, proj_uR, proj_v], axis=-1) - meas
+
+
+def _proj_jacobian(p, iz, fx, fy, baseline):
+    iz2 = iz * iz
+    z = jnp.zeros_like(iz)
+    row0 = jnp.stack([fx * iz, z, -fx * p[..., 0] * iz2], axis=-1)
+    row1 = jnp.stack([fx * iz, z, -fx * (p[..., 0] - baseline) * iz2], axis=-1)
+    row2 = jnp.stack([z, fy * iz, -fy * p[..., 1] * iz2], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)  # (..., 3, 3)
+
+
+def triangulate(R, t, views, meas, calib, iters: int = 5):
+    """Batched GN point triangulation. Returns (X (L,3), ok (L,))."""
+    fx, fy, cx, cy, baseline = calib
+    Rv = R[views]  # (L, m, 3, 3)
+    tv = t[views]  # (L, m, 3)
+
+    uL0, uR0, v0 = meas[:, 0, 0], meas[:, 0, 1], meas[:, 0, 2]
+    disp0 = uL0 - uR0
+    ok = disp0 > 1e-6
+    z0 = fx * baseline / jnp.where(ok, disp0, 1.0)
+    cam0 = jnp.stack([(uL0 - cx) * z0 / fx, (v0 - cy) * z0 / fy, z0], axis=1)
+    X = jnp.einsum("lij,lj->li", Rv[:, 0], cam0) + tv[:, 0]
+
+    def step(_, carry):
+        X, ok = carry
+        p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+        z = p[..., 2]
+        ok = ok & jnp.all(z > 1e-9, axis=1)
+        iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
+        r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline)
+        Jp = _proj_jacobian(p, iz, fx, fy, baseline)
+        Jx = jnp.einsum("lmij,lmkj->lmik", Jp, Rv)
+        A = jnp.einsum("lmij,lmik->ljk", Jx, Jx) + 1e-9 * jnp.eye(3)
+        g = jnp.einsum("lmij,lmi->lj", Jx, r)
+        delta = -jnp.linalg.solve(A, g[..., None])[..., 0]
+        X = X + jnp.where(ok[:, None], delta, 0.0)
+        return X, ok
+
+    X, ok = jax.lax.fori_loop(0, iters, step, (X, ok))
+    p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+    ok = ok & jnp.all(p[..., 2] > 1e-9, axis=1) & jnp.isfinite(X).all(axis=1)
+    return X, ok
+
+
+@functools.partial(jax.jit, static_argnames=("num_poses",))
+def build_reduced_system(
+    R: jnp.ndarray,  # (K, 3, 3)
+    t: jnp.ndarray,  # (K, 3)
+    views: jnp.ndarray,  # (L, m) int32
+    meas: jnp.ndarray,  # (L, m, 3)
+    lm_valid: jnp.ndarray,  # (L,) bool (padding mask)
+    calib: tuple,  # (fx, fy, cx, cy, baseline)
+    inv_sigma: float,
+    dyn_outlier_px: float,
+    num_poses: int,
+):
+    """Returns (H (6K, 6K), b (6K,), error scalar) — Schur-reduced over the
+    landmark group, with ZERO_ON_DEGENERACY + dynamic outlier rejection
+    folded in as masks."""
+    fx, fy, cx, cy, baseline = calib
+    K = num_poses
+    X, ok = triangulate(R, t, views, meas, calib)
+    Rv, tv = R[views], t[views]
+    p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+    z = p[..., 2]
+    iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
+    r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline)
+    maxerr = jnp.max(jnp.linalg.norm(r, axis=-1), axis=-1)
+    keep = ok & lm_valid & (maxerr < dyn_outlier_px)
+    wl = keep.astype(jnp.float32)  # (L,)
+
+    Jp = _proj_jacobian(p, iz, fx, fy, baseline)
+    L, m = views.shape
+    # d p_cam / d xi = [skew(p_cam), -I] (right retraction, rotation-first).
+    zeros = jnp.zeros_like(p[..., 0])
+    Dcam = jnp.stack(
+        [
+            jnp.stack([zeros, -p[..., 2], p[..., 1], -jnp.ones_like(zeros), zeros, zeros], -1),
+            jnp.stack([p[..., 2], zeros, -p[..., 0], zeros, -jnp.ones_like(zeros), zeros], -1),
+            jnp.stack([-p[..., 1], p[..., 0], zeros, zeros, zeros, -jnp.ones_like(zeros)], -1),
+        ],
+        axis=-2,
+    )  # (L, m, 3, 6)
+    U = jnp.einsum("lmij,lmjk->lmik", Jp, Dcam) * inv_sigma
+    Jx = jnp.einsum("lmij,lmkj->lmik", Jp, Rv) * inv_sigma
+    rw = r * inv_sigma
+
+    # Zero dropped landmarks so their Schur terms vanish.
+    U = U * wl[:, None, None, None]
+    rw = rw * wl[:, None, None]
+
+    A = jnp.einsum("lmij,lmik->ljk", Jx, Jx) + 1e-6 * jnp.eye(3)
+    Ainv = jnp.linalg.inv(A)
+    W = jnp.einsum("lmij,lmik->lmjk", U, Jx)  # (L, m, 6, 3)
+    gx = jnp.einsum("lmij,lmi->lj", Jx, rw)
+    Ainv_gx = jnp.einsum("lij,lj->li", Ainv, gx)
+
+    Hdiag = jnp.einsum("lmij,lmik->lmjk", U, U)  # (L, m, 6, 6)
+    gdiag = jnp.einsum("lmij,lmi->lmj", U, rw)
+    gcorr = jnp.einsum("lmjk,lk->lmj", W, Ainv_gx)
+    WAinv = jnp.einsum("lmjk,lki->lmji", W, Ainv)
+    corr = jnp.einsum("lmji,lnki->lmnjk", WAinv, W)  # (L, m, m, 6, 6)
+
+    Hblk = jnp.zeros((K, K, 6, 6))
+    bblk = jnp.zeros((K, 6))
+    vj = views  # (L, m)
+    bblk = bblk.at[vj].add(gdiag - gcorr)
+    Hblk = Hblk.at[vj, vj].add(Hdiag)
+    vj_b = jnp.broadcast_to(views[:, :, None], (L, m, m))
+    vk_b = jnp.broadcast_to(views[:, None, :], (L, m, m))
+    Hblk = Hblk.at[vj_b, vk_b].add(-corr)
+
+    H = Hblk.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    b = bblk.reshape(6 * K)
+    err = 0.5 * jnp.sum(rw * rw)
+    return H, b, err

@@ -1,0 +1,101 @@
+"""Native (C++) estimation core vs the Python oracle: SE(3) primitives,
+pose-only LM, and pose-graph LM must agree. Builds csrc/ on demand; skips
+if no toolchain."""
+
+import numpy as np
+import pytest
+
+from superslam_tpu import native
+from superslam_tpu.core.factors import HUBER_K, stereo_diag_sigmas
+from superslam_tpu.core.frame_tracker import FrameTracker
+from superslam_tpu.geometry import Pose3, stereo_project
+
+from helpers import make_calib
+
+pytestmark = pytest.mark.skipif(
+    not native.build(), reason="native toolchain unavailable"
+)
+
+
+def _pack(p):
+    return native._pack(p)
+
+
+def test_se3_primitives_match_python():
+    import ctypes
+
+    lib = native._load()
+    assert lib is not None
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        xi = rng.standard_normal(6)
+        out = np.empty(12)
+        lib.ssl_se3_exp(np.ascontiguousarray(xi), out)
+        ref = Pose3.expmap(xi)
+        np.testing.assert_allclose(out[:9].reshape(3, 3), ref.R, atol=1e-12)
+        np.testing.assert_allclose(out[9:], ref.t, atol=1e-12)
+        back = np.empty(6)
+        lib.ssl_se3_log(out, back)
+        np.testing.assert_allclose(back, xi, atol=1e-9)
+
+    a = Pose3.expmap(rng.standard_normal(6))
+    b = Pose3.expmap(rng.standard_normal(6))
+    out = np.empty(12)
+    lib.ssl_se3_between(_pack(a), _pack(b), out)
+    ref = a.between(b)
+    np.testing.assert_allclose(out[:9].reshape(3, 3), ref.R, atol=1e-12)
+
+
+def test_pose_only_lm_matches_python_tracker():
+    rng = np.random.default_rng(1)
+    calib = make_calib()
+    true_pose = Pose3.expmap(np.array([0.02, -0.01, 0.03, 0.4, -0.1, 0.2]))
+    Xw = true_pose.transform_from(rng.uniform([-4, -3, 4], [4, 3, 25], size=(50, 3)))
+    meas = np.stack([stereo_project(true_pose, calib, x) for x in Xw])
+    # A few sign-symmetric outliers to exercise the Huber path.
+    meas[::7] += rng.uniform(30, 60, size=meas[::7].shape) * rng.choice(
+        [-1, 1], size=meas[::7].shape
+    )
+
+    sigmas = stereo_diag_sigmas(10.0, meas[:, 0] - meas[:, 1], calib.bf)
+    est_native = native.pose_only_lm(Xw, meas, sigmas, calib, HUBER_K, Pose3())
+    est_py = FrameTracker(calib).track_arrays(Pose3(), Xw, meas)
+    # Huber bounds the damage from 16% gross outliers at the coarse
+    # (sigma=10 px) tracking noise; the strict check is native == python.
+    assert np.linalg.norm(est_native.t - true_pose.t) < 0.3
+    # Same optimum as the Python solver.
+    assert np.linalg.norm(est_native.t - est_py.t) < 5e-3
+    assert np.abs(est_native.R - est_py.R).max() < 1e-3
+
+
+def test_pose_graph_lm_matches_python():
+    rng = np.random.default_rng(2)
+    true_poses = [Pose3(t=np.array([1.0 * i, 0.0, 0.0])) for i in range(6)]
+    seeds = [true_poses[0]] + [
+        p.retract(rng.standard_normal(6) * 0.1) for p in true_poses[1:]
+    ]
+    inv_sig = 1.0 / np.array([0.02, 0.02, 0.02, 0.05, 0.05, 0.05])
+    edges = []
+    for i in range(5):
+        rel = true_poses[i].between(true_poses[i + 1])
+        edges.append((i, i + 1, rel, inv_sig, 0.0))
+    result = native.pose_graph_lm(seeds, edges, prior_idx=0, prior_sigma=1e-4)
+    assert result is not None
+    for i, tp in enumerate(true_poses):
+        assert np.linalg.norm(result[i].t - tp.t) < 1e-3
+
+
+def test_pose_graph_lm_with_huber_loop_edge():
+    true_final = Pose3(t=np.array([7.0, 0.0, 0.0]))
+    drift_rel = Pose3(t=np.array([1.0, 0.08, 0.0]))
+    seeds = [Pose3()]
+    for i in range(1, 8):
+        seeds.append(seeds[-1] * drift_rel)
+    inv_sig = 1.0 / np.array([0.02, 0.02, 0.02, 0.05, 0.05, 0.05])
+    edges = [(i, i + 1, drift_rel, inv_sig, 0.0) for i in range(7)]
+    edges.append(
+        (0, 7, true_final, 1.0 / np.array([0.02] * 3 + [0.05] * 3), float(np.sqrt(7.815)))
+    )
+    result = native.pose_graph_lm(seeds, edges, prior_idx=0, prior_sigma=1e-4)
+    assert result is not None
+    assert abs(result[7].t[1]) < abs(seeds[7].t[1]) * 0.5
