@@ -1,0 +1,38 @@
+# Operational entry points, mirroring the reference Makefile's run-/evaluate-
+# targets (/root/reference/Makefile:80-113) without the docker-compose layer
+# (the TPU runtime is the host environment).
+
+PY ?= python
+SEQ ?= 00
+DATASET_ROOT ?= datasets
+
+.PHONY: test bench native run-kitti run-euroc run-tum evaluate-kitti clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+native:
+	$(MAKE) -C csrc
+
+run-kitti: native
+	SUPERSLAM_ENABLE_LOOP=1 $(PY) examples/kitti.py configs/KITTI00-02.yaml \
+		$(DATASET_ROOT)/kitti/sequences/$(SEQ) --no-viewer
+
+run-euroc: native
+	SUPERSLAM_ENABLE_LOOP=1 $(PY) examples/euroc.py configs/EuRoC.yaml \
+		$(DATASET_ROOT)/euroc/$(SEQ) --no-viewer
+
+run-tum: native
+	SUPERSLAM_ENABLE_LOOP=1 $(PY) examples/tum_rgbd.py configs/TUM1.yaml \
+		$(DATASET_ROOT)/tum/$(SEQ) --no-viewer
+
+evaluate-kitti:
+	$(PY) scripts/evaluate_kitti.py results/kitti/$(SEQ).txt \
+		$(DATASET_ROOT)/kitti/poses/$(SEQ).txt
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -rf results

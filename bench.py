@@ -80,8 +80,15 @@ def synth_sequence(n: int, seed: int = 0):
 def main() -> None:
     from superslam_tpu.frontend.pipelined import PipelinedStereoTracker
 
+    import os
+
     pipeline, estimator = make_slam()
-    tracker = PipelinedStereoTracker(pipeline, estimator, depth=3)
+    tracker = PipelinedStereoTracker(
+        pipeline,
+        estimator,
+        depth=int(os.environ.get("BENCH_DEPTH", "3")),
+        batch=int(os.environ.get("BENCH_BATCH", "1")),
+    )
     frames = synth_sequence(N_WARMUP + N_FRAMES)
 
     # Warmup: compile the fused program and settle caches.

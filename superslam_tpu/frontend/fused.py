@@ -58,9 +58,10 @@ class FusedStereoPipeline:
         self._kf_desc = jnp.zeros((self.K, 256), jnp.float32)
         self._kf_valid = jnp.zeros((self.K,), bool)
 
-    def _prepare(self, left: np.ndarray, right: np.ndarray) -> jnp.ndarray:
-        """uint8 (2, padH, padW) batch — uint8 upload is 4x cheaper over the
-        host link; normalization happens on device."""
+    def _prepare_np(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+        """HOST uint8 (2, padH, padW) batch — uint8 upload is 4x cheaper over
+        the host link; normalization happens on device. Kept as numpy so
+        multi-frame callers can concatenate before the single H2D."""
         batch = np.zeros((2, self.pad_h, self.pad_w), np.uint8)
         for i, img in enumerate((left, right)):
             a = np.asarray(img)
@@ -74,7 +75,10 @@ class FusedStereoPipeline:
             batch[i, : min(h, self.pad_h), : min(w, self.pad_w)] = a[
                 : self.pad_h, : self.pad_w
             ]
-        return jnp.asarray(batch)
+        return batch
+
+    def _prepare(self, left: np.ndarray, right: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(self._prepare_np(left, right))
 
     def process(
         self, left: np.ndarray, right: np.ndarray, timestamp: float

@@ -1,25 +1,22 @@
-"""Depth-2 software-pipelined stereo tracking.
+"""Software-pipelined stereo tracking with frame batching.
 
-The host link to this TPU has a ~30 ms round-trip on every fresh
-device->host read, while the fused per-frame program itself costs ~15 ms of
-device time — so a fully synchronous loop is RTT-bound at ~25-30 fps no
-matter how fast the kernels get. This wrapper hides the RTT the way the
-hardware wants:
+The host link to this TPU has a fixed ~16-30 ms round trip on every fresh
+device->host read, while the fused per-frame program costs ~10 ms of device
+time — a fully synchronous loop is RTT-bound regardless of kernel speed.
+This wrapper hides the latency the way the hardware wants:
 
-  submit(frame N):  H2D + dispatch the fused program + start an async
-                    device->host copy of the packed result, then return.
-  (frame N's transfer and compute overlap frame N-1's host-side work and
-   the caller's image loading.)
-  drain():          block on the oldest in-flight packed buffer (usually
-                    already resident), decode it, run the host estimator.
+- **Frame batching** (batch=S): S consecutive stereo frames go through ONE
+  fused_stereo_step_multi dispatch and ONE packed readback, amortizing the
+  round trip S-fold. All S frames' track-matches refer to the same keyframe
+  state; the estimator resolves lagged keyframe references from its
+  retained store.
+- **Depth-D pipelining**: the packed readback runs on background fetcher
+  threads while later frames' device work proceeds; the host estimator
+  consumes results a few frames behind submission.
 
 The estimator still sees every frame, in order, with full data — only the
 pose RETURNED at submit time is the constant-velocity prediction for the
-newest frame (its exact pose lands one call later, and
-corrected_trajectory() is exact throughout). Keyframe causality is kept
-honest by tagging each in-flight frame with the keyframe id its track-match
-was computed against; the estimator resolves lagged tags from its retained
-keyframe store (VoEstimator._kf_store).
+newest frame, and corrected_trajectory() is exact throughout.
 """
 
 from __future__ import annotations
@@ -40,8 +37,9 @@ from .fused import FusedStereoPipeline
 @dataclass
 class _InFlight:
     timestamp: float
-    packed: "Future[np.ndarray]"  # background D2H of the packed buffer
-    desc: Any
+    packed: "Future[np.ndarray]"  # background D2H of the (S, PACK, K) block
+    slot: int  # this frame's row in the packed block
+    desc: Any  # (K, D) device slice
     kpts: Any
     valid: Any
     kf_ref_id: int | None
@@ -53,13 +51,16 @@ class PipelinedStereoTracker:
         self,
         pipeline: FusedStereoPipeline,
         estimator: VoEstimator,
-        depth: int = 2,
+        depth: int = 3,
+        batch: int = 1,
         keep_gray: bool = False,
     ):
         self.pipeline = pipeline
         self.estimator = estimator
         self.depth = max(1, int(depth))
+        self.batch = max(1, int(batch))
         self.keep_gray = keep_gray
+        self._staged: list[tuple[np.ndarray, np.ndarray, float]] = []
         self._pending: deque[_InFlight] = deque()
         self._last_pose = Pose3()
         self._last_rel = Pose3()
@@ -73,14 +74,28 @@ class PipelinedStereoTracker:
 
     # -- pipeline ------------------------------------------------------------
     def submit(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> None:
-        pl = self.pipeline
-        images = pl._prepare(left, right)
-        from ..ops.frontend_step import fused_stereo_step
+        self._staged.append(
+            (left, right, timestamp)
+            if not self.keep_gray
+            else (np.array(left, copy=True), right, timestamp)
+        )
+        if len(self._staged) >= self.batch:
+            self._dispatch()
 
-        packed, desc, kpts, valid = fused_stereo_step(
+    def _dispatch(self) -> None:
+        if not self._staged:
+            return
+        pl = self.pipeline
+        staged, self._staged = self._staged, []
+        images = np.concatenate([pl._prepare_np(l, r) for l, r, _ in staged])
+        import jax.numpy as jnp
+
+        from ..ops.frontend_step import fused_stereo_step_multi
+
+        packed, desc, kpts, valid = fused_stereo_step_multi(
             pl.sp_params,
             pl.lg_params,
-            images,
+            jnp.asarray(images),
             pl._kf_kpts,
             pl._kf_desc,
             pl._kf_valid,
@@ -93,18 +108,21 @@ class PipelinedStereoTracker:
             min_disparity=pl.min_disparity,
             match_threshold=pl.match_threshold,
         )
+        fut = self._fetchers.submit(np.asarray, packed)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
-        self._pending.append(
-            _InFlight(
-                timestamp,
-                self._fetchers.submit(np.asarray, packed),
-                desc,
-                kpts,
-                valid,
-                kf_ref,
-                np.array(left, copy=True) if self.keep_gray else None,
+        for s, (left, _, ts) in enumerate(staged):
+            self._pending.append(
+                _InFlight(
+                    ts,
+                    fut,
+                    s,
+                    desc[s],
+                    kpts[s],
+                    valid[s],
+                    kf_ref,
+                    left if self.keep_gray else None,
+                )
             )
-        )
 
     def drain_one(self) -> Pose3 | None:
         if not self._pending:
@@ -129,7 +147,7 @@ class PipelinedStereoTracker:
         from ..core.frame import StereoFrame
         from ..core.interfaces import MatchResult
 
-        p = item.packed.result()
+        p = item.packed.result()[item.slot]
         n = int(p[3].sum())
         stereo = np.empty((n, 3))
         stereo[:, 0] = p[0, :n]
@@ -160,16 +178,19 @@ class PipelinedStereoTracker:
 
     # -- public API ------------------------------------------------------------
     def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Pose3:
-        """Submit this frame; drain until at most depth-1 remain in flight.
-        Returns the constant-velocity prediction for THIS frame (exact pose
-        lands on the next call; corrected_trajectory() is always exact)."""
+        """Submit this frame; drain until at most (depth*batch - 1) remain in
+        flight. Returns the constant-velocity prediction for THIS frame
+        (exact pose lands within `batch` calls; corrected_trajectory() is
+        always exact)."""
         self.submit(left, right, timestamp)
-        while len(self._pending) >= self.depth:
+        limit = self.depth * self.batch
+        while len(self._pending) >= limit:
             self.drain_one()
         return self._last_pose * self._last_rel
 
     def flush(self) -> Pose3:
-        """Drain everything in flight; returns the last exact pose."""
+        """Dispatch anything staged and drain everything in flight."""
+        self._dispatch()
         while self._pending:
             self.drain_one()
         return self._last_pose

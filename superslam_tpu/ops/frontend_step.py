@@ -53,10 +53,10 @@ PACK_ROWS = 10
         "match_threshold",
     ),
 )
-def fused_stereo_step(
+def fused_stereo_step_multi(
     sp_params,
     lg_params,
-    images_u8: jnp.ndarray,  # (2, H, W) uint8 [L, R], padded
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, L1, R1, ...], padded
     kf_kpts: jnp.ndarray,  # (K, 2) f32 pixel coords of the last keyframe
     kf_desc: jnp.ndarray,  # (K, D)
     kf_valid: jnp.ndarray,  # (K,) bool
@@ -69,11 +69,16 @@ def fused_stereo_step(
     min_disparity: float,
     match_threshold: float,
 ):
-    """Returns (packed (PACK_ROWS, K) f32, desc (K, D), kpts (K, 2), valid (K,)).
+    """Process S consecutive stereo frames in ONE program.
 
-    `packed` is the single host readback; the other outputs stay on device
-    and become the next keyframe's inputs when the gate fires.
+    Returns (packed (S, PACK_ROWS, K) f32, desc (S, K, D), kpts (S, K, 2),
+    valid (S, K)): the packed block is the single host readback for all S
+    frames; the per-frame left features stay on device and become the next
+    keyframe's inputs when the gate fires. Batching frames amortizes the
+    fixed host-link round trip — every frame's track-match refers to the
+    same keyframe state (the estimator resolves lagged references).
     """
+    S = images_u8.shape[0] // 2
     images = images_u8.astype(jnp.float32) / 255.0
     scores, grid = superpoint_dense(sp_params, images, nms_radius=nms_radius)
     kpts, kp_scores, valid, desc = select_keypoints(
@@ -85,9 +90,9 @@ def fused_stereo_step(
         true_width,
         true_height,
     )
-    kl, kr = kpts[0], kpts[1]
-    dl, dr = desc[0], desc[1]
-    vl, vr = valid[0], valid[1]
+    kl, kr = kpts[0::2], kpts[1::2]  # (S, K, 2)
+    dl, dr = desc[0::2], desc[1::2]
+    vl, vr = valid[0::2], valid[1::2]
 
     scale = max(true_width, true_height) / 2.0
     center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
@@ -95,37 +100,58 @@ def fused_stereo_step(
     nkr = (kr - center) / scale
     nkf = (kf_kpts - center) / scale
 
-    # Stereo match L<->R + KF<->L track match: batch the two pair-problems
-    # into one LightGlue forward (leading batch of 2) so the transformer
-    # weights are read once and the MXU sees twice the work per dispatch.
-    q_kpts = jnp.stack([nkl, nkf])
-    q_desc = jnp.stack([dl, kf_desc.astype(dl.dtype)])
-    q_valid = jnp.stack([vl, kf_valid])
-    t_kpts = jnp.stack([nkr, nkl])
-    t_desc = jnp.stack([dr, dl])
-    t_valid = jnp.stack([vr, vl])
+    # 2S pair problems in one LightGlue forward: S stereo matches (L_s, R_s)
+    # and S track matches (KF, L_s). The transformer weights are read once.
+    kf_k = jnp.broadcast_to(nkf[None], (S,) + nkf.shape)
+    kf_d = jnp.broadcast_to(kf_desc[None].astype(dl.dtype), dl.shape)
+    kf_v = jnp.broadcast_to(kf_valid[None], vl.shape)
+    q_kpts = jnp.concatenate([nkl, kf_k], axis=0)
+    q_desc = jnp.concatenate([dl, kf_d], axis=0)
+    q_valid = jnp.concatenate([vl, kf_v], axis=0)
+    t_kpts = jnp.concatenate([nkr, nkl], axis=0)
+    t_desc = jnp.concatenate([dr, dl], axis=0)
+    t_valid = jnp.concatenate([vr, vl], axis=0)
     la = lightglue_forward(lg_params, q_kpts, q_desc, t_kpts, t_desc, q_valid, t_valid)
     matches, mscores = extract_matches(la, q_valid, t_valid, match_threshold)
-    stereo_m, stereo_s = matches[0], mscores[0]
-    track_m, track_s = matches[1], mscores[1]
+    stereo_m = matches[:S]  # (S, K)
+    track_m, track_s = matches[S:], mscores[S:]
 
     # Stereo gates on device (StereoFrontEnd.cc:35-46): disparity floor and
     # rectified-row check.
     j = jnp.maximum(stereo_m, 0)
-    uR = kr[j, 0]
-    vR = kr[j, 1]
-    disparity = kl[:, 0] - uR
-    row_ok = jnp.abs(kl[:, 1] - vR) <= 2.0
+    uR = jnp.take_along_axis(kr[..., 0], j, axis=1)
+    vR = jnp.take_along_axis(kr[..., 1], j, axis=1)
+    disparity = kl[..., 0] - uR
+    row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
     stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
 
-    K = kl.shape[0]
-    packed = jnp.zeros((PACK_ROWS, K), jnp.float32)
-    packed = packed.at[0].set(kl[:, 0])
-    packed = packed.at[1].set(kl[:, 1])
-    packed = packed.at[2].set(kp_scores[0])
-    packed = packed.at[3].set(vl.astype(jnp.float32))
-    packed = packed.at[5].set(uR)
-    packed = packed.at[6].set(stereo_ok.astype(jnp.float32))
-    packed = packed.at[7].set(track_m.astype(jnp.float32))
-    packed = packed.at[8].set(track_s)
+    K = kl.shape[1]
+    packed = jnp.zeros((S, PACK_ROWS, K), jnp.float32)
+    packed = packed.at[:, 0].set(kl[..., 0])
+    packed = packed.at[:, 1].set(kl[..., 1])
+    packed = packed.at[:, 2].set(kp_scores[0::2])
+    packed = packed.at[:, 3].set(vl.astype(jnp.float32))
+    packed = packed.at[:, 5].set(uR)
+    packed = packed.at[:, 6].set(stereo_ok.astype(jnp.float32))
+    packed = packed.at[:, 7].set(track_m.astype(jnp.float32))
+    packed = packed.at[:, 8].set(track_s)
     return packed, dl, kl, vl
+
+
+def fused_stereo_step(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2, H, W) uint8 [L, R], padded
+    kf_kpts: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    **kw,
+):
+    """Single-frame convenience wrapper over fused_stereo_step_multi.
+
+    Returns (packed (PACK_ROWS, K), desc (K, D), kpts (K, 2), valid (K,)).
+    """
+    packed, dl, kl, vl = fused_stereo_step_multi(
+        sp_params, lg_params, images_u8, kf_kpts, kf_desc, kf_valid, **kw
+    )
+    return packed[0], dl[0], kl[0], vl[0]

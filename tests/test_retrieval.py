@@ -1,0 +1,35 @@
+"""Device ring-buffer cosine index must agree with the host
+CosineDescriptorIndex on ranking, excludeRecent, topK, and minScore."""
+
+import numpy as np
+
+from superslam_tpu.core.place_recognition import CosineDescriptorIndex
+from superslam_tpu.ops.retrieval import DeviceCosineIndex
+
+
+def test_device_index_matches_host():
+    rng = np.random.default_rng(0)
+    host = CosineDescriptorIndex()
+    dev = DeviceCosineIndex(capacity=64, dim=32)
+    descs = rng.standard_normal((20, 32)).astype(np.float32)
+    for i, d in enumerate(descs):
+        host.add(i, d)
+        dev.add(i, d)
+
+    for exclude, topk, min_score in [(0, 5, -1.0), (3, 3, 0.0), (5, 10, 0.2)]:
+        q = descs[7] + rng.normal(0, 0.05, 32).astype(np.float32)
+        h = host.query(q, exclude, topk, min_score)
+        d = dev.query(q, exclude, topk, min_score)
+        assert [c.keyframe_id for c in h] == [i for i, _ in d]
+        np.testing.assert_allclose(
+            [c.score for c in h], [s for _, s in d], atol=1e-5
+        )
+
+
+def test_device_index_empty_and_excluded():
+    dev = DeviceCosineIndex(capacity=8, dim=4)
+    assert dev.query(np.ones(4), 0, 3, 0.0) == []
+    dev.add(0, np.ones(4))
+    assert dev.query(np.ones(4), 1, 3, 0.0) == []  # nothing old enough
+    out = dev.query(np.ones(4), 0, 3, 0.0)
+    assert out and out[0][0] == 0
