@@ -38,6 +38,11 @@ _SOURCES = {
         "per_seq": lambda s: f"freiburg{s.split('freiburg')[1][0]}/{s}.tgz",
         "kind": "tgz",
     },
+    "tartanground": {
+        "base": "https://tartanground.blob.core.windows.net/tartanground-release/",
+        "per_seq": lambda s: f"{s}/image_left.zip",
+        "kind": "zip",
+    },
     "tartanair": {
         "base": "https://tartanair.blob.core.windows.net/tartanair-release1/",
         "per_seq": lambda s: f"{s}/Easy/image_left.zip",

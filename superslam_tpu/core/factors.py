@@ -137,6 +137,59 @@ def batch_stereo_factor(
     return r, J
 
 
+def batch_mono_factor(
+    pose: Pose3,
+    calib: StereoCalib,
+    Xw: np.ndarray,
+    meas: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Residuals and pose Jacobians for N pose-only MONOCULAR factors.
+
+    The 2-residual (u, v) counterpart of batch_stereo_factor — equivalent to
+    the reference's PoseOnlyProjectionFactor
+    (PoseOptimizationFactors.h:33-68): landmark fixed, cheirality rows get
+    residual 2*fx and zero Jacobian.
+    """
+    Xw = np.asarray(Xw, dtype=np.float64)
+    meas = np.asarray(meas, dtype=np.float64)
+    n = Xw.shape[0]
+    p = pose.transform_to(Xw)
+    z = p[:, 2]
+    valid = z > 1e-9
+    zs = np.where(valid, z, 1.0)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    fx, fy = calib.fx, calib.fy
+    x, y = p[:, 0], p[:, 1]
+
+    proj = np.empty((n, 2))
+    proj[:, 0] = fx * x * iz + calib.cx
+    proj[:, 1] = fy * y * iz + calib.cy
+
+    Jp = np.zeros((n, 2, 3))
+    Jp[:, 0, 0] = fx * iz
+    Jp[:, 0, 2] = -fx * x * iz2
+    Jp[:, 1, 1] = fy * iz
+    Jp[:, 1, 2] = -fy * y * iz2
+
+    Dcam = np.zeros((n, 3, 6))
+    Dcam[:, 0, 1] = -p[:, 2]
+    Dcam[:, 0, 2] = p[:, 1]
+    Dcam[:, 1, 0] = p[:, 2]
+    Dcam[:, 1, 2] = -p[:, 0]
+    Dcam[:, 2, 0] = -p[:, 1]
+    Dcam[:, 2, 1] = p[:, 0]
+    Dcam[:, :, 3:] = -np.eye(3)
+
+    J = np.einsum("nij,njk->nik", Jp, Dcam)
+    r = proj - meas
+    bad = ~valid
+    if bad.any():
+        r[bad] = 2.0 * fx
+        J[bad] = 0.0
+    return r, J
+
+
 def huber_weights(whitened: np.ndarray, k: float = HUBER_K) -> np.ndarray:
     """Per-factor Huber IRLS weights from whitened (N,D) residual blocks.
 

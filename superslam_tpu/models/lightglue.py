@@ -156,30 +156,6 @@ def _cross_block_paired(x, mask, params, prefix, dtype):
     return _ffn(x, msg, params, f"{prefix}.ffn", dtype)
 
 
-def _cross_block(x0, x1, mask0, mask1, params, prefix, dtype):
-    qk0 = _split_heads(_linear(x0, params, f"{prefix}.to_qk", dtype))
-    qk1 = _split_heads(_linear(x1, params, f"{prefix}.to_qk", dtype))
-    v0 = _split_heads(_linear(x0, params, f"{prefix}.to_v", dtype))
-    v1 = _split_heads(_linear(x1, params, f"{prefix}.to_v", dtype))
-    scale = 1.0 / np.sqrt(HEAD_DIM)
-    sim = jnp.einsum(
-        "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
-    ) * scale
-    sim01 = jnp.where(mask1[:, None, None, :], sim, NEG)
-    sim10 = jnp.where(mask0[:, None, None, :], sim.transpose(0, 1, 3, 2), NEG)
-    m0 = jnp.einsum(
-        "bhij,bhjd->bhid", jax.nn.softmax(sim01, axis=-1).astype(v1.dtype), v1
-    )
-    m1 = jnp.einsum(
-        "bhij,bhjd->bhid", jax.nn.softmax(sim10, axis=-1).astype(v0.dtype), v0
-    )
-    m0 = _linear(_merge_heads(m0), params, f"{prefix}.to_out", dtype)
-    m1 = _linear(_merge_heads(m1), params, f"{prefix}.to_out", dtype)
-    x0 = _ffn(x0, m0, params, f"{prefix}.ffn", dtype)
-    x1 = _ffn(x1, m1, params, f"{prefix}.ffn", dtype)
-    return x0, x1
-
-
 def _log_assignment(x0, x1, mask0, mask1, params, prefix):
     """Dual-softmax + matchability log-assignment (f32)."""
     d0 = _linear(x0, params, f"{prefix}.final_proj", jnp.float32)

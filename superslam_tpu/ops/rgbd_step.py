@@ -1,0 +1,90 @@
+"""Fused per-frame device program for the RGB-D path.
+
+RGB-D needs no stereo match (depth comes from the sensor), but the
+frame-to-keyframe track match is still a per-frame LightGlue call; leaving
+it as a separate program would pay this host's fixed readback round trip
+twice. So the RGB-D step fuses: normalize -> SuperPoint (B=1) -> top-K
+select -> LightGlue KF<->frame match -> one packed (6, K) f32 readback
+(kpt x, kpt y, score, valid, track match idx, track score). Depth sampling,
+undistortion and uR synthesis stay host-side (the depth image never needs
+to visit the device) — mirroring the reference's RgbdFrontEnd split
+(src/RgbdFrontEnd.cc:23-58).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lightglue import extract_matches, lightglue_forward
+from ..models.superpoint import select_keypoints, superpoint_dense
+
+RGBD_PACK_ROWS = 6
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "match_threshold",
+    ),
+)
+def fused_rgbd_step(
+    sp_params,
+    lg_params,
+    image_u8: jnp.ndarray,  # (1, H, W) uint8, padded
+    kf_kpts: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    match_threshold: float,
+):
+    """Returns (packed (RGBD_PACK_ROWS, K), desc (K, D), kpts (K, 2),
+    valid (K,))."""
+    image = image_u8.astype(jnp.float32) / 255.0
+    scores, grid = superpoint_dense(sp_params, image, nms_radius=nms_radius)
+    kpts, kp_scores, valid, desc = select_keypoints(
+        scores,
+        grid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        true_width,
+        true_height,
+    )
+    kl, dl, vl = kpts[0], desc[0], valid[0]
+
+    scale = max(true_width, true_height) / 2.0
+    center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
+    la = lightglue_forward(
+        lg_params,
+        ((kf_kpts - center) / scale)[None],
+        kf_desc.astype(dl.dtype)[None],
+        ((kl - center) / scale)[None],
+        dl[None],
+        kf_valid[None],
+        vl[None],
+    )
+    track_m, track_s = extract_matches(la, kf_valid[None], vl[None], match_threshold)
+
+    K = kl.shape[0]
+    packed = jnp.zeros((RGBD_PACK_ROWS, K), jnp.float32)
+    packed = packed.at[0].set(kl[:, 0])
+    packed = packed.at[1].set(kl[:, 1])
+    packed = packed.at[2].set(kp_scores[0])
+    packed = packed.at[3].set(vl.astype(jnp.float32))
+    packed = packed.at[4].set(track_m[0].astype(jnp.float32))
+    packed = packed.at[5].set(track_s[0])
+    return packed, dl, kl, vl

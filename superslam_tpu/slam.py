@@ -95,6 +95,22 @@ class SuperSLAM:
                 read_dist_coeffs(cfg),
             )
             self.frontend = None
+            # Hot path: fused extract + KF track match, one readback/frame.
+            from .frontend.fused_rgbd import FusedRgbdPipeline
+
+            self.rgbd_pipeline = FusedRgbdPipeline(
+                sp_params,
+                lg_params,
+                self.calib,
+                width=lg_w,
+                height=lg_h,
+                depth_factor=depth_factor,
+                max_depth=max_depth,
+                dist_coeffs=read_dist_coeffs(cfg),
+                max_keypoints=sp_max_kp,
+                keypoint_threshold=sp_thresh,
+                remove_borders=sp_borders,
+            )
         else:
             self.frontend = StereoFrontEnd(self.extractor, self.matcher, self.calib)
             self.rgbd_frontend = None
@@ -206,9 +222,11 @@ class SuperSLAM:
     def track_rgbd(
         self, gray: np.ndarray, depth: np.ndarray, timestamp: float
     ) -> np.ndarray:
-        frame = self.rgbd_frontend.process(gray, depth, timestamp)
+        frame, kf_matches = self.rgbd_pipeline.process(gray, depth, timestamp)
         img = gray if self.loop_enabled else None
-        pose = self.estimator.track(frame, img)
+        pose = self.estimator.track(frame, img, kf_matches=kf_matches)
+        if self.estimator._last_keyframe is frame:
+            self.rgbd_pipeline.set_keyframe(frame.descriptors_left)
         self._timestamps.append(timestamp)
         self._live_poses.append(pose)
         if self.viewer is not None:

@@ -83,3 +83,30 @@ def test_huber_weights_and_loss():
     # Quadratic below k, linear above.
     assert huber_loss(np.array([[1.0, 0.0]]), k) == pytest.approx(0.5)
     assert huber_loss(np.array([[0.0, 4.0]]), k) == pytest.approx(2 * 4 - 0.5 * 4)
+
+
+def test_mono_factor_zero_residual_and_jacobian(calib, rng):
+    from superslam_tpu.core.factors import batch_mono_factor
+    from superslam_tpu.geometry import mono_project_jacobian
+
+    pose = Pose3.expmap(rng.standard_normal(6) * 0.3)
+    Xw = pose.transform_from(rng.uniform([-3, -2, 3], [3, 2, 20], size=(10, 3)))
+    meas = np.stack([mono_project_jacobian(pose, calib, x)[0] for x in Xw])
+    r, J = batch_mono_factor(pose, calib, Xw, meas)
+    np.testing.assert_allclose(r, 0.0, atol=1e-9)
+    # Analytic vs numeric at a perturbed pose.
+    pose2 = pose.retract(rng.standard_normal(6) * 0.05)
+    _, J = batch_mono_factor(pose2, calib, Xw, meas)
+    h = 1e-6
+    Jn = np.zeros_like(J)
+    for k in range(6):
+        d = np.zeros(6)
+        d[k] = h
+        rp, _ = batch_mono_factor(pose2.retract(d), calib, Xw, meas)
+        rm, _ = batch_mono_factor(pose2.retract(-d), calib, Xw, meas)
+        Jn[:, :, k] = (rp - rm) / (2 * h)
+    np.testing.assert_allclose(J, Jn, atol=1e-4)
+    # Cheirality escape hatch.
+    r, J = batch_mono_factor(Pose3(), calib, np.array([[0.0, 0.0, -2.0]]), np.zeros((1, 2)))
+    np.testing.assert_allclose(r[0], 2.0 * calib.fx)
+    np.testing.assert_allclose(J[0], 0.0)
