@@ -87,6 +87,12 @@ class PipelinedStereoTracker:
             return
         pl = self.pipeline
         staged, self._staged = self._staged, []
+        n_real = len(staged)
+        # Pad partial batches (the flush tail) by replicating the last frame
+        # so ONE compiled program shape serves every dispatch; dummy results
+        # are dropped below.
+        while len(staged) < self.batch:
+            staged.append(staged[-1])
         images = np.concatenate([pl._prepare_np(l, r) for l, r, _ in staged])
         import jax.numpy as jnp
 
@@ -108,9 +114,17 @@ class PipelinedStereoTracker:
             min_disparity=pl.min_disparity,
             match_threshold=pl.match_threshold,
         )
-        fut = self._fetchers.submit(np.asarray, packed)
+        # Fetch as 2-D: rank-3 device->host transfers are pathologically slow
+        # over this host link (relayout path); the reshape is free on device.
+        from ..ops.frontend_step import PACK_ROWS
+
+        S = len(staged)
+        flat = packed.reshape(S * PACK_ROWS, packed.shape[-1])
+        fut = self._fetchers.submit(
+            lambda a=flat, s=S: np.asarray(a).reshape(s, PACK_ROWS, -1)
+        )
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
-        for s, (left, _, ts) in enumerate(staged):
+        for s, (left, _, ts) in enumerate(staged[:n_real]):
             self._pending.append(
                 _InFlight(
                     ts,
