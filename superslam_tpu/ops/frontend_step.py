@@ -102,9 +102,16 @@ def fused_stereo_step_multi(
 
     # 2S pair problems in one LightGlue forward: S stereo matches (L_s, R_s)
     # and S track matches (KF, L_s). The transformer weights are read once.
-    kf_k = jnp.broadcast_to(nkf[None], (S,) + nkf.shape)
-    kf_d = jnp.broadcast_to(kf_desc[None].astype(dl.dtype), dl.shape)
-    kf_v = jnp.broadcast_to(kf_valid[None], vl.shape)
+    # kf_* may be shared (K, ...) — single sequence, batched frames — or
+    # per-sequence (S, K, ...) — multi-sequence batched tracking.
+    if kf_kpts.ndim == 2:
+        kf_k = jnp.broadcast_to(nkf[None], (S,) + nkf.shape)
+        kf_d = jnp.broadcast_to(kf_desc[None].astype(dl.dtype), dl.shape)
+        kf_v = jnp.broadcast_to(kf_valid[None], vl.shape)
+    else:
+        kf_k = nkf
+        kf_d = kf_desc.astype(dl.dtype)
+        kf_v = kf_valid
     q_kpts = jnp.concatenate([nkl, kf_k], axis=0)
     q_desc = jnp.concatenate([dl, kf_d], axis=0)
     q_valid = jnp.concatenate([vl, kf_v], axis=0)
