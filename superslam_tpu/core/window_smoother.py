@@ -86,7 +86,12 @@ class WindowSmoother:
         prior_sigma = 1e-4
         prior_pose = poses[0]
 
-        # Group landmark tracks (>=2 views) by track length for batching.
+        # Group landmark tracks (>=2 views) by track length for batching
+        # (profiled as ws_rebuild, matching the reference's scope names).
+        from ..utils.profiler import Profiler
+        import time as _time
+
+        _t0 = _time.perf_counter()
         tracks: dict[int, list[tuple[int, np.ndarray]]] = {}
         for kf in kf_ids:
             i = idx_of[kf]
@@ -104,6 +109,10 @@ class WindowSmoother:
             groups[m] = (
                 np.stack([v for v, _ in items]),  # (L, m)
                 np.stack([x for _, x in items]),  # (L, m, 3)
+            )
+        if Profiler.enabled():
+            Profiler.instance().add(
+                "ws_rebuild", (_time.perf_counter() - _t0) * 1e3
             )
         if not groups:
             return

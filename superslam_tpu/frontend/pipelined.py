@@ -120,6 +120,10 @@ class PipelinedStereoTracker:
 
         S = len(staged)
         flat = packed.reshape(S * PACK_ROWS, packed.shape[-1])
+        try:
+            flat.copy_to_host_async()  # start the transfer engine-side now
+        except AttributeError:
+            pass
         fut = self._fetchers.submit(
             lambda a=flat, s=S: np.asarray(a).reshape(s, PACK_ROWS, -1)
         )

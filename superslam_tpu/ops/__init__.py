@@ -1,3 +1,15 @@
-from .frontend_step import PACK_ROWS, fused_stereo_step
+from .frontend_step import PACK_ROWS, fused_stereo_step, fused_stereo_step_multi
+from .retrieval import DeviceCosineIndex
+from .rgbd_step import RGBD_PACK_ROWS, fused_rgbd_step
+from .window_solver import build_reduced_system, triangulate
 
-__all__ = ["PACK_ROWS", "fused_stereo_step"]
+__all__ = [
+    "PACK_ROWS",
+    "fused_stereo_step",
+    "fused_stereo_step_multi",
+    "DeviceCosineIndex",
+    "RGBD_PACK_ROWS",
+    "fused_rgbd_step",
+    "build_reduced_system",
+    "triangulate",
+]

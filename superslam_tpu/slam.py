@@ -185,6 +185,8 @@ class SuperSLAM:
         # fully synchronous reference-style loop.
         self._tracker = None
         depth = int(os.environ.get("SUPERSLAM_PIPELINE", "3"))
+        if use_viewer:
+            depth = 0  # the viewer draws per frame; stay synchronous
         if not self._rgbd and depth > 1:
             from .frontend.pipelined import PipelinedStereoTracker
 
