@@ -86,13 +86,18 @@ def make_optimizer(lr: float = 1e-4):
 
 
 def synthetic_matching_batch(
-    rng: np.random.Generator, batch: int, k: int, dim: int = 256
+    rng: np.random.Generator,
+    batch: int,
+    k: int,
+    dim: int = 256,
+    kpt_jitter: float = 0.01,
 ) -> dict[str, np.ndarray]:
     """Self-supervision: set1 is a noised permutation-free copy of set0 with
-    a random keypoint jitter — ground truth is i <-> i for the valid prefix."""
+    a random keypoint jitter — ground truth is i <-> i for the valid prefix.
+    `kpt_jitter` (normalized units) controls the simulated motion scale."""
     n_valid = k * 3 // 4
     kpts0 = rng.uniform(-1, 1, (batch, k, 2)).astype(np.float32)
-    jitter = rng.normal(0, 0.01, (batch, k, 2)).astype(np.float32)
+    jitter = rng.normal(0, kpt_jitter, (batch, k, 2)).astype(np.float32)
     kpts1 = kpts0 + jitter
     desc0 = rng.standard_normal((batch, k, dim)).astype(np.float32)
     desc0 /= np.linalg.norm(desc0, axis=-1, keepdims=True)
