@@ -24,6 +24,42 @@ from .extractor import pad_to_multiple
 from .features import PaddedFeatures
 
 
+def decode_packed(
+    p: np.ndarray, timestamp: float, feats: PaddedFeatures
+) -> tuple[StereoFrame, MatchResult]:
+    """Decode one frame's int16 packed block (ops.frontend_step layout).
+
+    Valid rows form a prefix (row 0 == -1 marks padding). Match confidences
+    are not transferred (nothing downstream consumes them); MatchResult
+    scores are 1.0.
+    """
+    x = p[0].astype(np.int32)
+    n = int((x >= 0).sum())
+    feats.n = n
+    uL = x[:n].astype(np.float64)
+    v = p[1, :n].astype(np.float64)
+    disparity = p[2, :n].astype(np.float64)
+    ok = disparity >= 0
+    stereo = np.stack(
+        [uL, np.where(ok, uL - disparity, np.nan), v], axis=1
+    )
+    frame = StereoFrame(
+        timestamp=timestamp,
+        keypoints_left=np.stack([uL, v], axis=1).astype(np.float32),
+        descriptors_left=feats,
+        stereo=stereo,
+        has_depth=ok,
+        scores=np.ones(n, np.float32),
+    )
+    ti = p[3].astype(np.int32)
+    qi = np.flatnonzero(ti >= 0).astype(np.int32)
+    matches = MatchResult(
+        matches=np.stack([qi, ti[qi]], axis=1),
+        scores=np.ones(qi.size, np.float32),
+    )
+    return frame, matches
+
+
 class FusedStereoPipeline:
     def __init__(
         self,
@@ -103,36 +139,15 @@ class FusedStereoPipeline:
             )
             p = np.asarray(packed)  # the ONE host readback this frame
 
-        n = int(p[3].sum())
-        stereo = np.empty((n, 3))
-        stereo[:, 0] = p[0, :n]
-        stereo[:, 2] = p[1, :n]
-        stereo_ok = p[6, :n] > 0
-        stereo[:, 1] = np.where(stereo_ok, p[5, :n], np.nan)
-
-        frame = StereoFrame(
-            timestamp=timestamp,
-            keypoints_left=np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float32),
-            descriptors_left=PaddedFeatures(
-                kpts=kpts_dev,
-                desc=desc_dev,
-                n=n,
-                width=self.width,
-                height=self.height,
-                valid=valid_dev,
-            ),
-            stereo=stereo,
-            has_depth=stereo_ok,
-            scores=p[2, :n].astype(np.float32),
+        feats = PaddedFeatures(
+            kpts=kpts_dev,
+            desc=desc_dev,
+            n=0,  # filled by decode_packed
+            width=self.width,
+            height=self.height,
+            valid=valid_dev,
         )
-
-        track_idx = p[7].astype(np.int32)
-        qi = np.flatnonzero(track_idx >= 0).astype(np.int32)
-        kf_matches = MatchResult(
-            matches=np.stack([qi, track_idx[qi]], axis=1),
-            scores=p[8, qi].astype(np.float32),
-        )
-        return frame, kf_matches
+        return decode_packed(p, timestamp, feats)
 
     def set_keyframe(self, feats: PaddedFeatures) -> None:
         """Adopt a frame's device-resident features as the new keyframe."""

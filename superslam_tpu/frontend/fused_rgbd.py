@@ -105,8 +105,8 @@ class FusedRgbdPipeline:
             )
             p = np.asarray(packed)  # the ONE host readback this frame
 
-        n = int(p[3].sum())
-        raw = np.stack([p[0, :n], p[1, :n]], axis=1)
+        n = int((p[0].astype(np.int32) >= 0).sum())  # valid prefix (x == -1 pad)
+        raw = np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float64)
         if self.dist_coeffs is not None and n > 0:
             undist = undistort_points(raw.astype(np.float64), self.calib, self.dist_coeffs)
         else:
@@ -135,12 +135,12 @@ class FusedRgbdPipeline:
             ),
             stereo=stereo,
             has_depth=valid,
-            scores=p[2, :n].astype(np.float32),
+            scores=np.ones(n, np.float32),
         )
-        ti = p[4].astype(np.int32)
+        ti = p[2].astype(np.int32)
         qi = np.flatnonzero(ti >= 0).astype(np.int32)
         matches = MatchResult(
-            matches=np.stack([qi, ti[qi]], 1), scores=p[5, qi].astype(np.float32)
+            matches=np.stack([qi, ti[qi]], 1), scores=np.ones(qi.size, np.float32)
         )
         return frame, matches
 

@@ -114,18 +114,13 @@ class PipelinedStereoTracker:
             min_disparity=pl.min_disparity,
             match_threshold=pl.match_threshold,
         )
-        # Fetch as 2-D: rank-3 device->host transfers are pathologically slow
-        # over this host link (relayout path); the reshape is free on device.
+        # The program emits a rank-2 (S*PACK_ROWS, K) int16 block; fetch it
+        # as-is and split per frame on host.
         from ..ops.frontend_step import PACK_ROWS
 
         S = len(staged)
-        flat = packed.reshape(S * PACK_ROWS, packed.shape[-1])
-        try:
-            flat.copy_to_host_async()  # start the transfer engine-side now
-        except AttributeError:
-            pass
         fut = self._fetchers.submit(
-            lambda a=flat, s=S: np.asarray(a).reshape(s, PACK_ROWS, -1)
+            lambda a=packed, s=S: np.asarray(a).reshape(s, PACK_ROWS, -1)
         )
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
         for s, (left, _, ts) in enumerate(staged[:n_real]):
@@ -162,37 +157,18 @@ class PipelinedStereoTracker:
         return pose
 
     def _decode(self, item: _InFlight):
-        from ..core.frame import StereoFrame
-        from ..core.interfaces import MatchResult
+        from .fused import decode_packed
 
         p = item.packed.result()[item.slot]
-        n = int(p[3].sum())
-        stereo = np.empty((n, 3))
-        stereo[:, 0] = p[0, :n]
-        stereo[:, 2] = p[1, :n]
-        ok = p[6, :n] > 0
-        stereo[:, 1] = np.where(ok, p[5, :n], np.nan)
-        frame = StereoFrame(
-            timestamp=item.timestamp,
-            keypoints_left=np.stack([p[0, :n], p[1, :n]], 1).astype(np.float32),
-            descriptors_left=PaddedFeatures(
-                kpts=item.kpts,
-                desc=item.desc,
-                n=n,
-                width=self.pipeline.width,
-                height=self.pipeline.height,
-                valid=item.valid,
-            ),
-            stereo=stereo,
-            has_depth=ok,
-            scores=p[2, :n].astype(np.float32),
+        feats = PaddedFeatures(
+            kpts=item.kpts,
+            desc=item.desc,
+            n=0,  # filled by decode_packed
+            width=self.pipeline.width,
+            height=self.pipeline.height,
+            valid=item.valid,
         )
-        ti = p[7].astype(np.int32)
-        qi = np.flatnonzero(ti >= 0).astype(np.int32)
-        matches = MatchResult(
-            matches=np.stack([qi, ti[qi]], 1), scores=p[8, qi].astype(np.float32)
-        )
-        return frame, matches
+        return decode_packed(p, item.timestamp, feats)
 
     # -- public API ------------------------------------------------------------
     def track(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> Pose3:

@@ -19,12 +19,16 @@ program's own outputs from the frame that became a keyframe) — the
 reference's DescriptorPool/D2D machinery has no equivalent here because
 nothing ever leaves HBM.
 
-Packed row layout (f32, shape (10, K)):
-  0: kpt x (left)        5: uR of the stereo match (gated; NaN-free, use row 6)
-  1: kpt y (left)        6: stereo-valid flag
-  2: keypoint score      7: track match index into the KF set (-1 = none)
-  3: keypoint valid      8: track match score
-  4: (reserved: 0)       9: (reserved: 0)
+The host link is BANDWIDTH-bound (~1.5 MB/s effective on tunneled hosts),
+so the packed buffer is int16: SuperPoint keypoints are integer heatmap
+coordinates and the stereo gates run on device, so four int16 rows carry
+everything the estimator needs — 4.8 KB/frame instead of 24 KB.
+
+Packed row layout (int16, shape (PACK_ROWS, K)):
+  0: kpt x (left), -1 for invalid rows (valid rows form a prefix)
+  1: kpt y (left)
+  2: stereo disparity (uL - uR), -1 when the stereo gates failed
+  3: track match index into the KF set (-1 = none)
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import jax.numpy as jnp
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
 
-PACK_ROWS = 10
+PACK_ROWS = 4
 
 
 @functools.partial(
@@ -71,12 +75,13 @@ def fused_stereo_step_multi(
 ):
     """Process S consecutive stereo frames in ONE program.
 
-    Returns (packed (S, PACK_ROWS, K) f32, desc (S, K, D), kpts (S, K, 2),
+    Returns (packed (S*PACK_ROWS, K) int16, desc (S, K, D), kpts (S, K, 2),
     valid (S, K)): the packed block is the single host readback for all S
-    frames; the per-frame left features stay on device and become the next
-    keyframe's inputs when the gate fires. Batching frames amortizes the
-    fixed host-link round trip — every frame's track-match refers to the
-    same keyframe state (the estimator resolves lagged references).
+    frames (frame s owns rows [s*PACK_ROWS, (s+1)*PACK_ROWS)); the per-frame
+    left features stay on device and become the next keyframe's inputs when
+    the gate fires. Batching frames amortizes the fixed host-link round trip
+    — every frame's track-match refers to the same keyframe state (the
+    estimator resolves lagged references).
     """
     S = images_u8.shape[0] // 2
     images = images_u8.astype(jnp.float32) / 255.0
@@ -132,17 +137,20 @@ def fused_stereo_step_multi(
     row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
     stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
 
+    del track_s  # match confidence is not consumed downstream
     K = kl.shape[1]
-    packed = jnp.zeros((S, PACK_ROWS, K), jnp.float32)
-    packed = packed.at[:, 0].set(kl[..., 0])
-    packed = packed.at[:, 1].set(kl[..., 1])
-    packed = packed.at[:, 2].set(kp_scores[0::2])
-    packed = packed.at[:, 3].set(vl.astype(jnp.float32))
-    packed = packed.at[:, 5].set(uR)
-    packed = packed.at[:, 6].set(stereo_ok.astype(jnp.float32))
-    packed = packed.at[:, 7].set(track_m.astype(jnp.float32))
-    packed = packed.at[:, 8].set(track_s)
-    return packed, dl, kl, vl
+    packed = jnp.stack(
+        [
+            jnp.where(vl, kl[..., 0], -1.0),
+            kl[..., 1],
+            jnp.where(stereo_ok, disparity, -1.0),
+            track_m.astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.int16)
+    # Emit rank-2 (S*PACK_ROWS, K): rank-3 D2H is pathological on tunneled
+    # hosts and an out-of-program reshape would cost an extra host-link op.
+    return packed.reshape(S * PACK_ROWS, K), dl, kl, vl
 
 
 def fused_stereo_step(
@@ -161,4 +169,4 @@ def fused_stereo_step(
     packed, dl, kl, vl = fused_stereo_step_multi(
         sp_params, lg_params, images_u8, kf_kpts, kf_desc, kf_valid, **kw
     )
-    return packed[0], dl[0], kl[0], vl[0]
+    return packed, dl[0], kl[0], vl[0]

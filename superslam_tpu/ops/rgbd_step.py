@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
 
-RGBD_PACK_ROWS = 6
+RGBD_PACK_ROWS = 3  # int16 rows: [kpt x (-1 = invalid), kpt y, track match idx]
 
 
 @functools.partial(
@@ -78,13 +78,14 @@ def fused_rgbd_step(
         vl[None],
     )
     track_m, track_s = extract_matches(la, kf_valid[None], vl[None], match_threshold)
+    del track_s, kp_scores  # confidences are not consumed downstream
 
-    K = kl.shape[0]
-    packed = jnp.zeros((RGBD_PACK_ROWS, K), jnp.float32)
-    packed = packed.at[0].set(kl[:, 0])
-    packed = packed.at[1].set(kl[:, 1])
-    packed = packed.at[2].set(kp_scores[0])
-    packed = packed.at[3].set(vl.astype(jnp.float32))
-    packed = packed.at[4].set(track_m[0].astype(jnp.float32))
-    packed = packed.at[5].set(track_s[0])
+    packed = jnp.stack(
+        [
+            jnp.where(vl, kl[:, 0], -1.0),
+            kl[:, 1],
+            track_m[0].astype(jnp.float32),
+        ],
+        axis=0,
+    ).astype(jnp.int16)
     return packed, dl, kl, vl

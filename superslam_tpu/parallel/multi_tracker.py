@@ -104,41 +104,23 @@ class MultiSequenceTracker:
             min_disparity=self.min_disparity,
             match_threshold=self.match_threshold,
         )
-        # Rank-2 fetch (rank-3 D2H is pathological on tunneled hosts).
-        p_all = np.asarray(packed.reshape(-1, packed.shape[-1])).reshape(
-            self.S, -1, packed.shape[-1]
-        )
+        # The program emits rank-2 (S*PACK_ROWS, K); split per sequence.
+        p_all = np.asarray(packed).reshape(self.S, -1, packed.shape[-1])
+
+        from ..frontend.fused import decode_packed
 
         poses = []
         new_kf: list[int] = []
         for s in range(self.S):
-            p = p_all[s]
-            n = int(p[3].sum())
-            stereo = np.empty((n, 3))
-            stereo[:, 0] = p[0, :n]
-            stereo[:, 2] = p[1, :n]
-            ok = p[6, :n] > 0
-            stereo[:, 1] = np.where(ok, p[5, :n], np.nan)
-            frame = StereoFrame(
-                timestamp=timestamps[s],
-                keypoints_left=np.stack([p[0, :n], p[1, :n]], 1).astype(np.float32),
-                descriptors_left=PaddedFeatures(
-                    kpts=kpts[s],
-                    desc=desc[s],
-                    n=n,
-                    width=self.width,
-                    height=self.height,
-                    valid=valid[s],
-                ),
-                stereo=stereo,
-                has_depth=ok,
-                scores=p[2, :n].astype(np.float32),
+            feats = PaddedFeatures(
+                kpts=kpts[s],
+                desc=desc[s],
+                n=0,  # filled by decode_packed
+                width=self.width,
+                height=self.height,
+                valid=valid[s],
             )
-            ti = p[7].astype(np.int32)
-            qi = np.flatnonzero(ti >= 0).astype(np.int32)
-            m = MatchResult(
-                matches=np.stack([qi, ti[qi]], 1), scores=p[8, qi].astype(np.float32)
-            )
+            frame, m = decode_packed(p_all[s], timestamps[s], feats)
             est = self.estimators[s]
             poses.append(est.track(frame, kf_matches=m))
             if est._last_keyframe is frame:
