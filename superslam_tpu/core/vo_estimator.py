@@ -37,7 +37,7 @@ from ..geometry.stereo_camera import StereoCalib
 from ..utils.env import env_float, env_int
 from ..utils.profiler import profile_scope
 from .frame import StereoFrame
-from .frame_tracker import FrameTracker, PointObs
+from .frame_tracker import FrameTracker
 from .interfaces import FeatureMatcher, MatchResult
 from .keyframe_gate import should_insert_keyframe
 from .keyframes import KeyframeRecord

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
+
 import jax.numpy as jnp
 
 from ..core.interfaces import Features

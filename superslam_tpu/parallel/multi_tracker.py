@@ -20,8 +20,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..core.frame import StereoFrame
-from ..core.interfaces import MatchResult
 from ..core.vo_estimator import VoEstimator
 from ..frontend.extractor import pad_to_multiple
 from ..frontend.features import PaddedFeatures
