@@ -27,3 +27,19 @@ jax.config.update(
     "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_superslam_env():
+    """The facade bridges YAML keys into SUPERSLAM_* env vars (by design, the
+    reference does the same with setenv) — snapshot and restore them around
+    every test so one test's config cannot leak into another's defaults."""
+    saved = {k: v for k, v in os.environ.items() if k.startswith("SUPERSLAM_")}
+    yield
+    for k in [k for k in os.environ if k.startswith("SUPERSLAM_")]:
+        if k not in saved:
+            del os.environ[k]
+    os.environ.update(saved)

@@ -122,3 +122,36 @@ def test_env_overrides_yaml(config_path):
         assert os.environ["SUPERSLAM_TRACK_MIN_MATCHES"] == "42"
     finally:
         del os.environ["SUPERSLAM_TRACK_MIN_MATCHES"]
+
+
+def test_stereo_facade_with_loop_closure_enabled(config_path, monkeypatch, tmp_path):
+    """SUPERSLAM_ENABLE_LOOP wires EigenPlaces + a dedicated loop matcher and
+    the async worker; with random weights no loop fires, but the whole path
+    (global descriptor compute, keyframe DB, worker drain) must run clean."""
+    cfg = CONFIG + """
+loop:
+  image_width: 128
+  image_height: 128
+  min_inliers: 8
+  min_score: 0.5
+"""
+    p = tmp_path / "loop.yaml"
+    p.write_text(cfg)
+    monkeypatch.setenv("SUPERSLAM_ENABLE_LOOP", "1")
+    monkeypatch.setenv("SUPERSLAM_PIPELINE", "0")  # sync: deterministic drain
+    slam = SuperSLAM(str(p))
+    assert slam.loop_enabled
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        left, right = synth_pair(rng)
+        Tcw = slam.track_stereo(left, right, 0.1 * i)
+        assert np.isfinite(Tcw).all()
+    slam.estimator.stop_loop_worker()
+    # Keyframes were indexed in the loop database with global descriptors.
+    db = slam.estimator._loop_closer.db
+    assert len(db) >= 1
+    rec = db.records()[0]
+    assert rec.global_descriptor is not None
+    assert np.isfinite(rec.global_descriptor).all()
+    assert rec.descriptors_left.shape[1] == 256
+    slam.shutdown()
