@@ -17,3 +17,13 @@ __version__ = "0.1.0"
 
 from .core import VoEstimator  # noqa: F401
 from .geometry import Pose3, StereoCalib  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: `from superslam_tpu import SuperSLAM` without forcing jax (and
+    # the device runtime) on import of the device-free core.
+    if name == "SuperSLAM":
+        from .slam import SuperSLAM
+
+        return SuperSLAM
+    raise AttributeError(name)
