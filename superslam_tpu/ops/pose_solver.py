@@ -51,6 +51,29 @@ def _se3_exp(xi):
     return _so3_exp(w), V @ v
 
 
+def _so3_log(R):
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    th = jnp.arccos(c)
+    v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    f = jnp.where(th < 1e-6, 0.5, th / (2.0 * jnp.sin(jnp.maximum(th, 1e-9))))
+    return f * v  # not valid within ~1e-6 of pi (fine for residual use)
+
+
+def _se3_log(R, t):
+    w = _so3_log(R)
+    th2 = w @ w
+    W = _skew(w)
+    W2 = W @ W
+    th = jnp.sqrt(th2 + 1e-20)
+    half = 0.5 * th
+    cot_term = jnp.where(
+        th2 < 1e-12, 1.0 / 12.0, (1.0 - half / jnp.tan(jnp.maximum(half, 1e-9))) / th2
+    )
+    Vi = jnp.eye(3) - 0.5 * W + cot_term * W2
+    return jnp.concatenate([w, Vi @ t])
+
+
 def _retract(R, t, xi):
     dR, dt = _se3_exp(xi)
     return R @ dR, R @ dt + t

@@ -42,11 +42,21 @@ def _proj_jacobian(p, iz, fx, fy, baseline):
     return jnp.stack([row0, row1, row2], axis=-2)  # (..., 3, 3)
 
 
-def triangulate(R, t, views, meas, calib, iters: int = 5):
-    """Batched GN point triangulation. Returns (X (L,3), ok (L,))."""
+def triangulate(R, t, views, meas, calib, iters: int = 5, obs_valid=None):
+    """Batched GN point triangulation. Returns (X (L,3), ok (L,)).
+
+    obs_valid (L, m) optionally masks padded observations (tracks shorter
+    than the group length); the FIRST observation of every landmark must be
+    valid (callers sort valid observations first).
+    """
     fx, fy, cx, cy, baseline = calib
     Rv = R[views]  # (L, m, 3, 3)
     tv = t[views]  # (L, m, 3)
+    ov = (
+        jnp.ones(views.shape, jnp.float32)
+        if obs_valid is None
+        else obs_valid.astype(jnp.float32)
+    )
 
     uL0, uR0, v0 = meas[:, 0, 0], meas[:, 0, 1], meas[:, 0, 2]
     disp0 = uL0 - uR0
@@ -59,10 +69,10 @@ def triangulate(R, t, views, meas, calib, iters: int = 5):
         X, ok = carry
         p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
         z = p[..., 2]
-        ok = ok & jnp.all(z > 1e-9, axis=1)
+        ok = ok & jnp.all((z > 1e-9) | (ov < 0.5), axis=1)
         iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
-        r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline)
-        Jp = _proj_jacobian(p, iz, fx, fy, baseline)
+        r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline) * ov[..., None]
+        Jp = _proj_jacobian(p, iz, fx, fy, baseline) * ov[..., None, None]
         Jx = jnp.einsum("lmij,lmkj->lmik", Jp, Rv)
         A = jnp.einsum("lmij,lmik->ljk", Jx, Jx) + 1e-9 * jnp.eye(3)
         g = jnp.einsum("lmij,lmi->lj", Jx, r)
@@ -72,7 +82,8 @@ def triangulate(R, t, views, meas, calib, iters: int = 5):
 
     X, ok = jax.lax.fori_loop(0, iters, step, (X, ok))
     p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
-    ok = ok & jnp.all(p[..., 2] > 1e-9, axis=1) & jnp.isfinite(X).all(axis=1)
+    ok = ok & jnp.all((p[..., 2] > 1e-9) | (ov < 0.5), axis=1)
+    ok = ok & jnp.isfinite(X).all(axis=1)
     return X, ok
 
 
@@ -87,23 +98,30 @@ def build_reduced_system(
     inv_sigma: float,
     dyn_outlier_px: float,
     num_poses: int,
+    obs_valid: jnp.ndarray | None = None,  # (L, m) per-observation mask
 ):
     """Returns (H (6K, 6K), b (6K,), error scalar) — Schur-reduced over the
     landmark group, with ZERO_ON_DEGENERACY + dynamic outlier rejection
-    folded in as masks."""
+    folded in as masks. With obs_valid, one padded (L, m_max) group covers
+    mixed track lengths (valid observations must come first per landmark)."""
     fx, fy, cx, cy, baseline = calib
     K = num_poses
-    X, ok = triangulate(R, t, views, meas, calib)
+    ov = (
+        jnp.ones(views.shape, jnp.float32)
+        if obs_valid is None
+        else obs_valid.astype(jnp.float32)
+    )
+    X, ok = triangulate(R, t, views, meas, calib, obs_valid=obs_valid)
     Rv, tv = R[views], t[views]
     p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
     z = p[..., 2]
     iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
-    r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline)
+    r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline) * ov[..., None]
     maxerr = jnp.max(jnp.linalg.norm(r, axis=-1), axis=-1)
     keep = ok & lm_valid & (maxerr < dyn_outlier_px)
     wl = keep.astype(jnp.float32)  # (L,)
 
-    Jp = _proj_jacobian(p, iz, fx, fy, baseline)
+    Jp = _proj_jacobian(p, iz, fx, fy, baseline) * ov[..., None, None]
     L, m = views.shape
     # d p_cam / d xi = [skew(p_cam), -I] (right retraction, rotation-first).
     zeros = jnp.zeros_like(p[..., 0])
@@ -148,3 +166,97 @@ def build_reduced_system(
     b = bblk.reshape(6 * K)
     err = 0.5 * jnp.sum(rw * rw)
     return H, b, err
+
+
+def _window_error(R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_px):
+    fx, fy, cx, cy, baseline = calib
+    ov = obs_valid.astype(jnp.float32)
+    X, ok = triangulate(R, t, views, meas, calib, obs_valid=obs_valid)
+    Rv, tv = R[views], t[views]
+    p = jnp.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+    z = p[..., 2]
+    iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
+    r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline) * ov[..., None]
+    maxerr = jnp.max(jnp.linalg.norm(r, axis=-1), axis=-1)
+    keep = (ok & lm_valid & (maxerr < dyn_px)).astype(jnp.float32)
+    rw = r * inv_sigma * keep[:, None, None]
+    return 0.5 * jnp.sum(rw * rw)
+
+
+@functools.partial(jax.jit, static_argnames=("num_poses", "max_iters"))
+def solve_window(
+    R0: jnp.ndarray,  # (K, 3, 3) seed rotations (Twc)
+    t0: jnp.ndarray,  # (K, 3) seed translations
+    views: jnp.ndarray,  # (L, m) int32
+    meas: jnp.ndarray,  # (L, m, 3) f32
+    lm_valid: jnp.ndarray,  # (L,) bool
+    obs_valid: jnp.ndarray,  # (L, m) bool (valid observations FIRST per row)
+    calib: tuple,
+    inv_sigma: float,
+    dyn_outlier_px: float,
+    prior_info: float,
+    num_poses: int,
+    max_iters: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full smart-stereo window LM on device: the `lax.while_loop` driver
+    around the Schur-reduced system (WindowSmoother._lm semantics: gauge
+    prior on pose 0, accept/reject damping, tol 1e-3). Returns (R, t)."""
+    from .pose_solver import _retract, _se3_log
+
+    K = num_poses
+
+    def prior_err(R, t):
+        # Log( prior^-1 * pose0 ); prior = the seed pose of pose 0.
+        dR = R0[0].T @ R[0]
+        dt = R0[0].T @ (t[0] - t0[0])
+        dxi = _se3_log(dR, dt)
+        return 0.5 * prior_info * (dxi @ dxi), dxi
+
+    def total_error(R, t):
+        e, _ = prior_err(R, t)
+        return e + _window_error(
+            R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_outlier_px
+        )
+
+    def retract_all(R, t, delta):
+        def one(i):
+            return _retract(R[i], t[i], jax.lax.dynamic_slice(delta, (6 * i,), (6,)))
+
+        Rs, ts = [], []
+        for i in range(K):  # K is static and small
+            Ri, ti = one(i)
+            Rs.append(Ri)
+            ts.append(ti)
+        return jnp.stack(Rs), jnp.stack(ts)
+
+    def cond(state):
+        i, R, t, lam, err, done = state
+        return (i < max_iters) & jnp.logical_not(done)
+
+    def body(state):
+        i, R, t, lam, err, done = state
+        H, b, _ = build_reduced_system(
+            R, t, views, meas, lm_valid, calib, inv_sigma, dyn_outlier_px,
+            num_poses=K, obs_valid=obs_valid,
+        )
+        _, dxi0 = prior_err(R, t)
+        H = H.at[:6, :6].add(prior_info * jnp.eye(6))
+        b = b.at[:6].add(prior_info * dxi0)
+        delta = jnp.linalg.solve(H + lam * jnp.eye(6 * K), -b)
+        ok = jnp.isfinite(delta).all()
+        Rn, tn = retract_all(R, t, jnp.where(ok, delta, 0.0))
+        new_err = total_error(Rn, tn)
+        accept = ok & (new_err < err)
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        improvement = err - new_err
+        err = jnp.where(accept, new_err, err)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.1, 1e-10), lam * 10.0)
+        done = (accept & (improvement < 1e-3 * jnp.maximum(err, 1.0))) | (lam > 1e8)
+        return i + 1, R, t, lam, err, done
+
+    err0 = total_error(R0, t0)
+    _, R, t, _, _, _ = jax.lax.while_loop(
+        cond, body, (0, R0, t0, jnp.float32(1e-5), err0, jnp.array(False))
+    )
+    return R, t

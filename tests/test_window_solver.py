@@ -97,3 +97,63 @@ def test_gn_step_improves_error(problem):
     new_poses = [p.retract(delta[6 * i : 6 * i + 6]) for i, p in enumerate(poses)]
     _, _, err1 = system(new_poses)
     assert float(err1) < 0.2 * float(err0)
+
+
+def test_full_device_window_solve_matches_numpy(problem):
+    """solve_window (on-device LM driver) must recover the window like the
+    numpy smoother does on the same reference-style problem."""
+    from superslam_tpu.ops.window_solver import solve_window
+
+    calib, poses, lms, views, meas = problem
+    gt = [Pose3(t=np.array([float(i), 0.0, 0.0])) for i in range(4)]
+    ct = (calib.fx, calib.fy, calib.cx, calib.cy, calib.baseline)
+    R0 = np.stack([p.R for p in poses]).astype(np.float32)
+    t0 = np.stack([p.t for p in poses]).astype(np.float32)
+    L, m = views.shape
+    R, t = solve_window(
+        jnp.asarray(R0),
+        jnp.asarray(t0),
+        jnp.asarray(views),
+        jnp.asarray(meas),
+        jnp.asarray(np.ones(L, bool)),
+        jnp.asarray(np.ones((L, m), bool)),
+        ct,
+        inv_sigma=1.0,
+        dyn_outlier_px=1e9,
+        prior_info=1e8,
+        num_poses=4,
+        max_iters=8,
+    )
+    R, t = np.asarray(R, np.float64), np.asarray(t, np.float64)
+    for k, g in enumerate(gt):
+        assert np.linalg.norm(t[k] - g.t) < 0.05, (k, t[k], g.t)
+        assert np.abs(R[k] - g.R).max() < 0.05
+
+
+def test_obs_mask_equals_shorter_tracks(problem):
+    """A padded (L, m) group with masked tail observations must equal the
+    exact shorter-track system."""
+    calib, poses, lms, views, meas = problem
+    ct = (calib.fx, calib.fy, calib.cx, calib.cy, calib.baseline)
+    R = np.stack([p.R for p in poses]).astype(np.float32)
+    t = np.stack([p.t for p in poses]).astype(np.float32)
+    L = views.shape[0]
+    # Exact: only the first 3 views of each track.
+    H3, b3, _ = build_reduced_system(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(views[:, :3]),
+        jnp.asarray(meas[:, :3]), jnp.asarray(np.ones(L, bool)), ct,
+        inv_sigma=1.0, dyn_outlier_px=1e9, num_poses=4,
+    )
+    # Padded: all 4 views, last one masked out.
+    ov = np.ones((L, 4), bool)
+    ov[:, 3] = False
+    H4, b4, _ = build_reduced_system(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(views), jnp.asarray(meas),
+        jnp.asarray(np.ones(L, bool)), ct, inv_sigma=1.0, dyn_outlier_px=1e9,
+        num_poses=4, obs_valid=jnp.asarray(ov),
+    )
+    scale = max(float(np.abs(np.asarray(H3)).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(H4) / scale, np.asarray(H3) / scale, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(b4), np.asarray(b3), rtol=2e-2, atol=2.0)
