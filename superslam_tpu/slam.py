@@ -40,9 +40,28 @@ from .models.weights import load_params
 from .utils.logging import get_logger
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (first compile of the fused
+    pipeline is ~40 s; subsequent CLI runs warm-start). Opt out with
+    SUPERSLAM_NO_COMPILE_CACHE=1."""
+    if os.environ.get("SUPERSLAM_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/superslam_jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 class SuperSLAM:
     def __init__(self, config_path: str, use_viewer: bool = False):
         log = get_logger()
+        _enable_compilation_cache()
         cfg = Config.load(config_path)
         self.cfg = cfg
         apply_tuning_overrides(cfg)
