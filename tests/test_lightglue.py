@@ -120,3 +120,22 @@ def test_identical_descriptor_sets_prefer_diagonal(params):
     )
     diag_is_max = (np.argmax(la[0], axis=1) == np.arange(32)).mean()
     assert diag_is_max > 0.9
+
+
+def test_bf16_matches_f32_assignments(params):
+    """SURVEY §7 hard part: bf16 numerics must not change match decisions —
+    the robust back-end absorbs score jitter, but the assignment structure
+    (who matches whom) must be stable across compute dtypes."""
+    rng = np.random.default_rng(9)
+    k0, d0, k1, d1, m0, m1 = make_inputs(rng, 48, 48)
+    la16 = np.asarray(
+        lightglue_forward(params, k0, d0, k1, d1, m0, m1, compute_dtype=jnp.bfloat16)
+    )
+    la32 = np.asarray(
+        lightglue_forward(params, k0, d0, k1, d1, m0, m1, compute_dtype=jnp.float32)
+    )
+    m16, _ = extract_matches(jnp.asarray(la16), m0, m1, 0.1)
+    m32, _ = extract_matches(jnp.asarray(la32), m0, m1, 0.1)
+    m16, m32 = np.asarray(m16[0]), np.asarray(m32[0])
+    agree = (m16 == m32).mean()
+    assert agree > 0.9, f"bf16/f32 assignment agreement {agree:.2f}"
