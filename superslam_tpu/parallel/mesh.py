@@ -28,6 +28,13 @@ def make_mesh(n_devices: int | None = None, model_axis: int | None = None) -> Me
     2 when the device count allows it, else 1."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n_devices}) needs {n} devices but the {devs[0].platform} "
+            f"backend exposes only {len(devs)}; for a virtual mesh set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> and "
+            'jax.config.update("jax_platforms", "cpu") before backend init'
+        )
     devs = devs[:n]
     if model_axis is None:
         model_axis = 2 if n % 2 == 0 and n >= 2 else 1

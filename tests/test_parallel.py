@@ -110,6 +110,35 @@ def test_graft_entry_contract():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_standalone_like_driver():
+    """Regression for round-1 MULTICHIP failure: the driver runs
+    dryrun_multichip in a bare process where sitecustomize pins JAX onto the
+    single axon device — the entry point must force the virtual CPU platform
+    itself, without help from tests/conftest.py."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # conftest's 8-device flag must not leak in
+    env["JAX_PLATFORMS"] = ""  # let sitecustomize / jax defaults decide
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "dryrun_multichip ok" in r.stdout
+
+
+def test_make_mesh_fails_loudly_when_too_few_devices():
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh(16)
+
+
 def test_training_converges_on_fixed_batch():
     """A few optimizer steps on one synthetic batch must reduce the matching
     NLL substantially — the self-supervised fine-tuning loop is functional,
