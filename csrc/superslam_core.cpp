@@ -270,7 +270,9 @@ int ssl_pose_graph_lm(const double* seeds, int K, const int32_t* edge_ij, int E,
       if (hk > 0) {
         const double nn = std::sqrt(nw);
         if (nn > hk) {
-          const double s = hk / nn;
+          // sqrt of the IRLS weight hk/|r|: r and J each carry sqrt(w) so
+          // the assembled J^T J / J^T r carry w exactly once.
+          const double s = std::sqrt(hk / nn);
           for (int d = 0; d < 6; ++d) {
             rw[d] *= s;
             for (int c = 0; c < 6; ++c) {

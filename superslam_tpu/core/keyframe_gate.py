@@ -1,11 +1,10 @@
-"""Covisibility-based keyframe gate (pure function, scale-invariant).
+"""Keyframe insertion policy (pure predicate).
 
-Equivalent of ``/root/reference/include/KeyframeGate.h:11-24``: insert a
-keyframe when frames_since_keyframe >= max_frames (parallax cap for slow
-forward motion), when the hard match floor is breached, or when the fraction
-of the reference keyframe's features still tracked drops below
-covisibility_ratio. min_frames debounces back-to-back keyframes on a
-transient covisibility dip.
+Behavioral spec from ``/root/reference/include/KeyframeGate.h:11-24``. The
+decision combines three triggers — a frame-count ceiling, an absolute
+tracked-match floor, and a covisibility fraction against the reference
+keyframe — with a short refractory window (``min_frames``) so a one-frame
+covisibility glitch cannot spawn consecutive keyframes.
 """
 
 from __future__ import annotations

@@ -164,7 +164,10 @@ class GlobalPoseGraph:
                 if hk > 0:
                     n = float(np.linalg.norm(rw))
                     if n > hk:
-                        s = hk / n
+                        # IRLS weight w = hk/|r| applied once to the normal
+                        # equations; rw/J each get sqrt(w) so JᵀJ and Jᵀr
+                        # carry w (not w², which over-deweights loop edges).
+                        s = np.sqrt(hk / n)
                         rw, Jiw, Jjw = rw * s, Jiw * s, Jjw * s
                 si, sj = slice(6 * ii, 6 * ii + 6), slice(6 * jj, 6 * jj + 6)
                 H[si, si] += Jiw.T @ Jiw

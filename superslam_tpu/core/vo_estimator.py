@@ -195,13 +195,17 @@ class VoEstimator:
         # Match current frame to the reference keyframe (query=KF, train=frame).
         kf = self._last_keyframe
         kf_f2l = self._last_kf_feature_to_landmark
-        if (
-            kf_matches is not None
-            and kf_ref_id is not None
-            and kf_ref_id != self._last_keyframe_id
-            and kf_ref_id in self._kf_store
-        ):
-            kf, kf_f2l = self._kf_store[kf_ref_id]
+        if kf_matches is not None and kf_ref_id is not None:
+            if kf_ref_id == self._last_keyframe_id:
+                pass  # matches refer to the current keyframe
+            elif kf_ref_id in self._kf_store:
+                kf, kf_f2l = self._kf_store[kf_ref_id]
+            else:
+                # The keyframe these matches were computed against has been
+                # evicted (deep pipelines can lag several insertions) —
+                # interpreting them against the current keyframe would feed
+                # wrong 3D-2D correspondences to the solve. Re-match on host.
+                kf_matches = None
         if kf_matches is not None:
             m = kf_matches
         else:

@@ -57,12 +57,12 @@ class SuperPointExtractor:
             a = np.asarray(img)
             if a.ndim == 3:  # BGR -> gray (reference convention, SuperSLAM.cc:156)
                 a = a @ np.array([0.114, 0.587, 0.299], np.float32)
-            if a.dtype == np.uint8:
-                a = a.astype(np.float32) / 255.0
-            else:
+            if np.issubdtype(a.dtype, np.floating):
+                # Contract: float ⇒ already normalized to [0, 1] (dtype-
+                # keyed, see frontend/fused.py).
                 a = a.astype(np.float32)
-                if a.max() > 1.5:
-                    a = a / 255.0
+            else:
+                a = a.astype(np.float32) / 255.0
             h, w = a.shape
             batch[i, : min(h, self.pad_h), : min(w, self.pad_w)] = a[
                 : self.pad_h, : self.pad_w

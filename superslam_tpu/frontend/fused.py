@@ -104,9 +104,13 @@ class FusedStereoPipeline:
             if a.ndim == 3:
                 a = (a @ np.array([0.114, 0.587, 0.299], np.float32)).astype(np.uint8)
             if a.dtype != np.uint8:
-                a = np.clip(a * (255.0 if a.max() <= 1.5 else 1.0), 0, 255).astype(
-                    np.uint8
-                )
+                # Input contract: float images are normalized to [0, 1]
+                # (reference convention); integer images are raw pixels.
+                # Keyed on dtype, not data range — a dark [0,255] float frame
+                # must not be re-scaled into saturation.
+                if np.issubdtype(a.dtype, np.floating):
+                    a = a * 255.0
+                a = np.clip(a, 0, 255).astype(np.uint8)
             h, w = a.shape
             batch[i, : min(h, self.pad_h), : min(w, self.pad_w)] = a[
                 : self.pad_h, : self.pad_w

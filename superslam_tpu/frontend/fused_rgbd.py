@@ -68,7 +68,11 @@ class FusedRgbdPipeline:
         if a.ndim == 3:
             a = (a @ np.array([0.114, 0.587, 0.299], np.float32)).astype(np.uint8)
         if a.dtype != np.uint8:
-            a = np.clip(a * (255.0 if a.max() <= 1.5 else 1.0), 0, 255).astype(np.uint8)
+            # Contract: float ⇒ [0, 1]; integer ⇒ raw pixels (dtype-keyed,
+            # see frontend/fused.py).
+            if np.issubdtype(a.dtype, np.floating):
+                a = a * 255.0
+            a = np.clip(a, 0, 255).astype(np.uint8)
         batch = np.zeros((1, self.pad_h, self.pad_w), np.uint8)
         h, w = a.shape
         batch[0, : min(h, self.pad_h), : min(w, self.pad_w)] = a[

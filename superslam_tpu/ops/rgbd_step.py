@@ -4,8 +4,8 @@ RGB-D needs no stereo match (depth comes from the sensor), but the
 frame-to-keyframe track match is still a per-frame LightGlue call; leaving
 it as a separate program would pay this host's fixed readback round trip
 twice. So the RGB-D step fuses: normalize -> SuperPoint (B=1) -> top-K
-select -> LightGlue KF<->frame match -> one packed (6, K) f32 readback
-(kpt x, kpt y, score, valid, track match idx, track score). Depth sampling,
+select -> LightGlue KF<->frame match -> one packed (3, K) int16 readback
+(kpt x with -1 marking invalid, kpt y, track match idx). Depth sampling,
 undistortion and uR synthesis stay host-side (the depth image never needs
 to visit the device) — mirroring the reference's RgbdFrontEnd split
 (src/RgbdFrontEnd.cc:23-58).
