@@ -96,15 +96,17 @@ def main() -> None:
         l, r = frames[i]
         tracker.track(l, r, 0.1 * i)
 
-    # Several measurement windows spread over ~a minute; report the best
-    # sustained rate. The host tunnel alternates between fast and slow
-    # phases lasting tens of seconds (device time is constant throughout —
-    # see the device-only line), so a single contiguous window can land
-    # entirely in a slow phase and report link weather, not capability.
+    # Several measurement windows spread over ~a minute. The REPORTED value
+    # is the whole-run sustained rate (all measured frames over total
+    # in-window wall time); per-window rates are printed as a diagnostic —
+    # the host tunnel alternates between fast and slow phases lasting tens
+    # of seconds (device time is constant throughout — see the device-only
+    # line), so the window spread shows link weather vs capability.
     lat = []
     window_fps = []
     win = 20
     idx = N_WARMUP
+    measured_s = 0.0
     bench_start = time.perf_counter()
     for w in range(4):
         t_start = time.perf_counter()
@@ -115,7 +117,9 @@ def main() -> None:
             lat.append(time.perf_counter() - t0)
             idx += 1
         tracker.flush()
-        window_fps.append(win / (time.perf_counter() - t_start))
+        dt = time.perf_counter() - t_start
+        measured_s += dt
+        window_fps.append(win / dt)
         # Deep slow phase (link degraded): stop burning the time budget;
         # the windows measured so far already bound the capability.
         if time.perf_counter() - bench_start > 180.0:
@@ -124,9 +128,10 @@ def main() -> None:
             time.sleep(3.0)
 
     lat_ms = np.array(lat) * 1e3
-    fps = max(window_fps)
+    fps = len(lat) / measured_s
     print(
-        f"[bench] windows: {[round(f, 1) for f in window_fps]} fps",
+        f"[bench] windows: {[round(f, 1) for f in window_fps]} fps "
+        f"(best {max(window_fps):.1f})",
         file=sys.stderr,
     )
     print(
@@ -144,11 +149,18 @@ def main() -> None:
 
         from superslam_tpu.ops.frontend_step import fused_stereo_step_multi
 
-        imgs = jnp.asarray(pipeline._prepare_np(*frames[0]))
+        # VARYING inputs (16 distinct frames pre-uploaded): constant-input
+        # timings on this relay are cache artifacts. One fetch at the end
+        # forces completion of the whole dispatched chain.
+        n_dev = 16
+        dev_imgs = [
+            jnp.asarray(pipeline._prepare_np(*frames[(i * 3) % len(frames)]))
+            for i in range(n_dev)
+        ]
 
-        def run():
+        def run(x):
             return fused_stereo_step_multi(
-                pipeline.sp_params, pipeline.lg_params, imgs,
+                pipeline.sp_params, pipeline.lg_params, x,
                 pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
                 max_keypoints=pipeline.K,
                 keypoint_threshold=pipeline.keypoint_threshold,
@@ -159,11 +171,11 @@ def main() -> None:
                 match_threshold=pipeline.match_threshold,
             )
 
-        np.asarray(run()[0])
+        np.asarray(run(dev_imgs[0])[0])  # compile + settle
         t0 = time.perf_counter()
-        outs = [run() for _ in range(16)]
+        outs = [run(x) for x in dev_imgs]
         np.asarray(outs[-1][0])
-        dev_ms = (time.perf_counter() - t0) / 16 * 1e3
+        dev_ms = (time.perf_counter() - t0) / n_dev * 1e3
         print(
             f"[bench] device-only per-frame program: {dev_ms:.1f} ms "
             f"({1000 / dev_ms:.0f} fps equivalent on a locally-attached chip)",
