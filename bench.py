@@ -141,41 +141,56 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Device-only throughput (back-to-back dispatch, single sync): what the
-    # same program sustains without the host-link per-frame overhead — on a
-    # locally-attached chip this is the achievable frame rate.
+    # Device-only per-frame time: the fused program looped inside ONE
+    # lax.scan with per-iteration input variation (the carry feeds back a
+    # value derived from each frame's output, so iterations can neither be
+    # cached nor overlapped), timed as the difference of two iteration
+    # counts — this cancels ALL fixed relay costs (dispatch submit AND
+    # fetch), which dominate any per-dispatch measurement on this tunnel.
+    # On a locally-attached chip this is the achievable frame time.
     try:
+        import jax
         import jax.numpy as jnp
+        from jax import lax
 
         from superslam_tpu.ops.frontend_step import fused_stereo_step_multi
 
-        # VARYING inputs (16 distinct frames pre-uploaded): constant-input
-        # timings on this relay are cache artifacts. One fetch at the end
-        # forces completion of the whole dispatched chain.
-        n_dev = 16
-        dev_imgs = [
-            jnp.asarray(pipeline._prepare_np(*frames[(i * 3) % len(frames)]))
-            for i in range(n_dev)
-        ]
+        img0 = jnp.asarray(pipeline._prepare_np(*frames[0]))
 
-        def run(x):
-            return fused_stereo_step_multi(
-                pipeline.sp_params, pipeline.lg_params, x,
-                pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
-                max_keypoints=pipeline.K,
-                keypoint_threshold=pipeline.keypoint_threshold,
-                remove_borders=pipeline.remove_borders,
-                nms_radius=pipeline.nms_radius,
-                true_width=pipeline.width, true_height=pipeline.height,
-                min_disparity=pipeline.min_disparity,
-                match_threshold=pipeline.match_threshold,
-            )
+        def prog(iters):
+            @jax.jit
+            def run(images):
+                def body(c, _):
+                    packed, _desc, _kpts, _valid = fused_stereo_step_multi(
+                        pipeline.sp_params, pipeline.lg_params, c,
+                        pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
+                        max_keypoints=pipeline.K,
+                        keypoint_threshold=pipeline.keypoint_threshold,
+                        remove_borders=pipeline.remove_borders,
+                        nms_radius=pipeline.nms_radius,
+                        true_width=pipeline.width, true_height=pipeline.height,
+                        min_disparity=pipeline.min_disparity,
+                        match_threshold=pipeline.match_threshold,
+                    )
+                    nxt = (
+                        jnp.roll(c, 1, axis=2) + packed[0, 0].astype(jnp.uint8)
+                    ).astype(jnp.uint8)
+                    return nxt, packed[0, 1]
+                _, outs = lax.scan(body, images, None, length=iters)
+                return outs.reshape(iters, 1)
+            return run
 
-        np.asarray(run(dev_imgs[0])[0])  # compile + settle
-        t0 = time.perf_counter()
-        outs = [run(x) for x in dev_imgs]
-        np.asarray(outs[-1][0])
-        dev_ms = (time.perf_counter() - t0) / n_dev * 1e3
+        lo, hi = 3, 12
+        run_lo, run_hi = prog(lo), prog(hi)
+        np.asarray(run_lo(img0)); np.asarray(run_hi(img0))  # compile + settle
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter(); np.asarray(run_lo(img0))
+            tlo = time.perf_counter() - t0
+            t0 = time.perf_counter(); np.asarray(run_hi(img0))
+            thi = time.perf_counter() - t0
+            samples.append((thi - tlo) / (hi - lo) * 1e3)
+        dev_ms = min(samples)
         print(
             f"[bench] device-only per-frame program: {dev_ms:.1f} ms "
             f"({1000 / dev_ms:.0f} fps equivalent on a locally-attached chip)",

@@ -57,33 +57,139 @@ def _pool2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _pallas_convs_wanted() -> bool:
+    """Whether the large-spatial-extent encoder convs route through the
+    Pallas kernels (ops/pallas/conv.py). Default: on for TPU backends, off
+    on CPU (where the XLA conv path is the oracle and interpret-mode Pallas
+    is orders of magnitude slower). SUPERSLAM_PALLAS_CONV=0/1 overrides."""
+    import os
+
+    v = os.environ.get("SUPERSLAM_PALLAS_CONV")
+    if v is not None:
+        return v not in ("0", "", "false")
+    return jax.default_backend() != "cpu"
+
+
+def _front_convs_pallas(
+    params: Params,
+    image: jnp.ndarray,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """conv1a..conv2b + pools via the Pallas CHW kernels (the stages whose
+    spatial extent makes XLA's conv lowering run at ~10% MXU utilization).
+    Returns quarter-res NHWC (B, H/4, ceil(W/128)*128 / 4, 64) with zeros in
+    the width padding, ready for the XLA conv3a.. stages."""
+    from ..ops.pallas.conv import (
+        PAD_ROWS,
+        conv1a1b_chw,
+        conv3x3_chw,
+        pool2_canvas,
+        to_canvas,
+    )
+
+    b, h, w = image.shape
+    wp = -(-w // 128) * 128
+    x = to_canvas(image, wp)
+    x = conv1a1b_chw(
+        x,
+        params["conv1a.weight"],
+        params["conv1a.bias"],
+        params["conv1b.weight"],
+        params["conv1b.bias"],
+        w_img=w,
+        interpret=interpret,
+        out_dtype=compute_dtype,
+    )
+    for name, w_img in (
+        ("pool", w // 2),
+        ("conv2a", w // 2),
+        ("conv2b", w // 2),
+        ("pool", w // 4),
+    ):
+        if name == "pool":
+            x = pool2_canvas(x)
+        else:
+            x = conv3x3_chw(
+                x,
+                params[f"{name}.weight"],
+                params[f"{name}.bias"],
+                relu=True,
+                w_img=w_img,
+                interpret=interpret,
+                out_dtype=compute_dtype,
+            )
+    core = x[:, :, PAD_ROWS : PAD_ROWS + h // 4, :]  # (B, 64, H/4, Wp/4)
+    return core.transpose(0, 2, 3, 1)  # NHWC
+
+
 def superpoint_dense(
     params: Params,
     image: jnp.ndarray,
     nms_radius: int = 4,
     compute_dtype=jnp.bfloat16,
+    use_pallas_convs: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense forward pass.
 
     Args:
-      image: (B, H, W) grayscale in [0, 1].
+      image: (B, H, W) grayscale in [0, 1]. H must be a multiple of 8; when
+        the Pallas conv path is active, W is internally padded to a lane
+        multiple and the outputs are sliced back, so results match the XLA
+        path up to bf16 rounding.
     Returns:
       scores (B, H, W) f32 NMS'd heatmap;
       descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype).
     """
-    x = image[..., None]  # NHWC
+    if use_pallas_convs is None:
+        use_pallas_convs = _pallas_convs_wanted()
+    b_, h_, w_ = image.shape
+    # The Pallas kernels grid 8-row stripes at full AND half resolution, so
+    # H must be a multiple of 16 (standard datasets are; tiny synthetic
+    # frames fall back to the XLA path).
+    if h_ % 16 != 0 or w_ % 8 != 0:
+        use_pallas_convs = False
     relu = jax.nn.relu
-    x = relu(_conv(x, params, "conv1a", compute_dtype))
-    x = relu(_conv(x, params, "conv1b", compute_dtype))
-    x = _pool2(x)
-    x = relu(_conv(x, params, "conv2a", compute_dtype))
-    x = relu(_conv(x, params, "conv2b", compute_dtype))
-    x = _pool2(x)
+    if use_pallas_convs:
+        x = _front_convs_pallas(
+            params,
+            image,
+            interpret=jax.default_backend() == "cpu",
+            compute_dtype=compute_dtype,
+        )
+
+        # The widened canvas needs its zero pad columns RE-zeroed after
+        # every 3x3 stage: SAME padding re-zeroes the boundary at each conv
+        # in the exact-width path, while here a conv turns the zero pad into
+        # relu(bias), which the next 3x3 would smear ~5 cells into the
+        # valid region.
+        def _maskw(t, wv):
+            col = jax.lax.broadcasted_iota(jnp.int32, t.shape[:3], 2)
+            return jnp.where(col[..., None] < wv, t, 0)
+
+        wq = w_ // 4
+    else:
+        x = image[..., None]  # NHWC
+        x = relu(_conv(x, params, "conv1a", compute_dtype))
+        x = relu(_conv(x, params, "conv1b", compute_dtype))
+        x = _pool2(x)
+        x = relu(_conv(x, params, "conv2a", compute_dtype))
+        x = relu(_conv(x, params, "conv2b", compute_dtype))
+        x = _pool2(x)
+
+        def _maskw(t, wv):  # exact-width path: nothing to mask
+            return t
+
+        wq = None
     x = relu(_conv(x, params, "conv3a", compute_dtype))
+    x = _maskw(x, wq)
     x = relu(_conv(x, params, "conv3b", compute_dtype))
     x = _pool2(x)
+    x = _maskw(x, None if wq is None else wq // 2)
     x = relu(_conv(x, params, "conv4a", compute_dtype))
+    x = _maskw(x, None if wq is None else wq // 2)
     x = relu(_conv(x, params, "conv4b", compute_dtype))
+    x = _maskw(x, None if wq is None else wq // 2)
 
     # Detector head: 65 channels = 8x8 cell logits + dustbin.
     cPa = relu(_conv(x, params, "convPa", compute_dtype))
@@ -107,6 +213,9 @@ def superpoint_dense(
     desc = desc * jax.lax.rsqrt(
         jnp.sum(jnp.square(desc.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12
     ).astype(compute_dtype)
+    if scores.shape[2] != w_:  # slice off the Pallas path's lane padding
+        scores = scores[:, :, :w_]
+        desc = desc[:, :, : w_ // CELL]
     return scores, desc
 
 
