@@ -74,7 +74,13 @@ class KeyframeMsg:
 
 
 class VoEstimator:
-    def __init__(self, matcher: FeatureMatcher, calib: StereoCalib, window_size: int = 0):
+    def __init__(
+        self,
+        matcher: FeatureMatcher,
+        calib: StereoCalib,
+        window_size: int = 0,
+        kf_store_size: int = 2,
+    ):
         self.matcher = matcher
         self.calib = calib
         self.smoother = WindowSmoother(calib, _resolve_window_size(window_size))
@@ -93,8 +99,12 @@ class VoEstimator:
         # Retained recent keyframes for pipelined tracking: a frame whose
         # device program was dispatched just before a keyframe insertion may
         # carry matches against the PREVIOUS keyframe; the estimator resolves
-        # them against the keyframe they were actually computed from.
+        # them against the keyframe they were actually computed from. Must
+        # cover the pipeline's in-flight window (depth*batch frames can lag
+        # up to ~depth*batch/min_frames insertions); unresolvable refs force
+        # a host re-match, which is correct but defeats the fused pipeline.
         self._kf_store: dict[int, tuple[StereoFrame, dict[int, int]]] = {}
+        self._kf_store_size = max(2, int(kf_store_size))
         self._next_keyframe_id = 0
         self._global_landmark_id = 0
 
@@ -292,7 +302,7 @@ class VoEstimator:
         self, kf_id: int, frame: StereoFrame, f2l: dict[int, int]
     ) -> None:
         self._kf_store[kf_id] = (frame, f2l)
-        while len(self._kf_store) > 2:
+        while len(self._kf_store) > self._kf_store_size:
             self._kf_store.pop(next(iter(self._kf_store)))
 
     def _feature_to_landmark_obs(

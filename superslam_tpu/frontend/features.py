@@ -32,6 +32,45 @@ class PaddedFeatures:
         return int(self.kpts.shape[0])
 
 
+class LazySlotFeatures:
+    """PaddedFeatures-shaped view into row ``slot`` of a batched program
+    output (kpts (S, K, 2), desc (S, K, D), valid (S, K)).
+
+    The device slice ops are deferred until first attribute access: in the
+    batched pipeline only keyframes (and the rare host re-match) ever read
+    a frame's padded features, so eager slicing would submit 3*S device ops
+    per dispatch purely to discard most of them."""
+
+    def __init__(self, kpts_b, desc_b, valid_b, slot: int, n: int, width: int, height: int):
+        self._kpts_b, self._desc_b, self._valid_b = kpts_b, desc_b, valid_b
+        self.slot = slot
+        self.n = n
+        self.width = width
+        self.height = height
+        self._cache: dict[str, Any] = {}
+
+    def _slice(self, name: str, batched):
+        if name not in self._cache:
+            self._cache[name] = None if batched is None else batched[self.slot]
+        return self._cache[name]
+
+    @property
+    def kpts(self):
+        return self._slice("kpts", self._kpts_b)
+
+    @property
+    def desc(self):
+        return self._slice("desc", self._desc_b)
+
+    @property
+    def valid(self):
+        return self._slice("valid", self._valid_b)
+
+    @property
+    def capacity(self) -> int:
+        return int(self._kpts_b.shape[1])
+
+
 def host_descriptors(feats: PaddedFeatures | np.ndarray | None) -> np.ndarray:
     """Materialize float32 host rows [N, D] (the reference's
     descriptors_to_host, one D2H per keyframe)."""

@@ -30,16 +30,44 @@ import numpy as np
 
 from ..core.vo_estimator import VoEstimator
 from ..geometry.se3 import Pose3
+from ..utils.profiler import profile_scope
 from .features import PaddedFeatures
 from .fused import FusedStereoPipeline
+
+
+class _AsyncPacked:
+    """Future-shaped handle over a runtime-level async D2H.
+
+    ``copy_to_host_async`` queues the transfer in submission order — right
+    behind this dispatch's program, BEFORE the next dispatch's upload — so
+    by drain time the bytes are host-side and ``result()`` costs ~0.1 ms.
+    (A fetcher THREAD calling np.asarray gets scheduled late under the GIL;
+    its transfer then queues behind later dispatches and blocks ~50 ms.)
+    """
+
+    def __init__(self, packed, s: int):
+        self._packed = packed
+        self._s = s
+        self._host: np.ndarray | None = None
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass  # fall through to the synchronous fetch in result()
+
+    def result(self) -> np.ndarray:
+        if self._host is None:
+            from ..ops.frontend_step import PACK_ROWS
+
+            self._host = np.asarray(self._packed).reshape(self._s, PACK_ROWS, -1)
+        return self._host
 
 
 @dataclass
 class _InFlight:
     timestamp: float
-    packed: "Future[np.ndarray]"  # background D2H of the (S, PACK, K) block
+    packed: "_AsyncPacked"  # async D2H of the (S, PACK, K) block
     slot: int  # this frame's row in the packed block
-    desc: Any  # (K, D) device slice
+    desc: Any  # batched (S, K, D) program output (lazily sliced)
     kpts: Any
     valid: Any
     kf_ref_id: int | None
@@ -59,6 +87,13 @@ class PipelinedStereoTracker:
         self.estimator = estimator
         self.depth = max(1, int(depth))
         self.batch = max(1, int(batch))
+        # In-flight frames can lag up to depth*batch insertions behind the
+        # newest keyframe; retain enough keyframes that their precomputed
+        # matches stay resolvable (an eviction forces a host re-match, which
+        # serializes a whole extra matcher dispatch per frame).
+        estimator._kf_store_size = max(
+            estimator._kf_store_size, self.depth * self.batch + 2
+        )
         self.keep_gray = keep_gray
         self._staged: list[tuple[np.ndarray, np.ndarray, float]] = []
         self._pending: deque[_InFlight] = deque()
@@ -74,12 +109,26 @@ class PipelinedStereoTracker:
 
     # -- pipeline ------------------------------------------------------------
     def submit(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> None:
+        import jax.numpy as jnp
+
+        # Prep + upload EACH frame as it arrives: the tunnel is
+        # bandwidth-bound (~50 MB/s -> ~17 ms per 0.9 MB stereo pair), so
+        # the upload must stream during the frame interval instead of
+        # bursting S frames at dispatch time.
+        with profile_scope("pl_prepare"):
+            prep = self.pipeline._prepare_np(left, right)
+        with profile_scope("pl_upload"):
+            dev = jnp.asarray(prep)
         self._staged.append(
-            (left, right, timestamp)
-            if not self.keep_gray
-            else (np.array(left, copy=True), right, timestamp)
+            (dev, timestamp, np.array(left, copy=True) if self.keep_gray else None)
         )
         if len(self._staged) >= self.batch:
+            # Drain BEFORE dispatching: the packed fetch is served by the
+            # link ~one RTT after it is REQUESTED, behind any queued device
+            # work — requesting it while the new batch's upload+program sit
+            # in the queue adds their whole device time to the wait.
+            while len(self._pending) > (self.depth - 1) * self.batch:
+                self.drain_one()
             self._dispatch()
 
     def _dispatch(self) -> None:
@@ -93,15 +142,19 @@ class PipelinedStereoTracker:
         # are dropped below.
         while len(staged) < self.batch:
             staged.append(staged[-1])
-        images = np.concatenate([pl._prepare_np(l, r) for l, r, _ in staged])
         import jax.numpy as jnp
 
         from ..ops.frontend_step import fused_stereo_step_multi
 
+        images = (
+            staged[0][0]
+            if self.batch == 1
+            else jnp.concatenate([d for d, _, _ in staged], axis=0)
+        )
         packed, desc, kpts, valid = fused_stereo_step_multi(
             pl.sp_params,
             pl.lg_params,
-            jnp.asarray(images),
+            images,
             pl._kf_kpts,
             pl._kf_desc,
             pl._kf_valid,
@@ -119,21 +172,23 @@ class PipelinedStereoTracker:
         from ..ops.frontend_step import PACK_ROWS
 
         S = len(staged)
-        fut = self._fetchers.submit(
-            lambda a=packed, s=S: np.asarray(a).reshape(s, PACK_ROWS, -1)
-        )
+        fut = _AsyncPacked(packed, S)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
-        for s, (left, _, ts) in enumerate(staged[:n_real]):
+        for s, (_, ts, left_gray) in enumerate(staged[:n_real]):
+            # The batched outputs go in whole; LazySlotFeatures slices a
+            # frame's rows only if something (keyframe adoption, host
+            # re-match) actually reads them — 3*S eager slice submissions
+            # per dispatch measurably stretched the dispatch path.
             self._pending.append(
                 _InFlight(
                     ts,
                     fut,
                     s,
-                    desc[s],
-                    kpts[s],
-                    valid[s],
+                    desc,
+                    kpts,
+                    valid,
                     kf_ref,
-                    left if self.keep_gray else None,
+                    left_gray,
                 )
             )
 
@@ -141,7 +196,8 @@ class PipelinedStereoTracker:
         if not self._pending:
             return None
         item = self._pending.popleft()
-        frame, kf_matches = self._decode(item)
+        with profile_scope("pl_fetch_wait"):
+            frame, kf_matches = self._decode(item)
         prev = self._last_pose
         pose = self.estimator.track(
             frame,
@@ -157,16 +213,18 @@ class PipelinedStereoTracker:
         return pose
 
     def _decode(self, item: _InFlight):
+        from .features import LazySlotFeatures
         from .fused import decode_packed
 
         p = item.packed.result()[item.slot]
-        feats = PaddedFeatures(
-            kpts=item.kpts,
-            desc=item.desc,
+        feats = LazySlotFeatures(
+            item.kpts,
+            item.desc,
+            item.valid,
+            slot=item.slot,
             n=0,  # filled by decode_packed
             width=self.pipeline.width,
             height=self.pipeline.height,
-            valid=item.valid,
         )
         return decode_packed(p, item.timestamp, feats)
 
@@ -177,9 +235,6 @@ class PipelinedStereoTracker:
         (exact pose lands within `batch` calls; corrected_trajectory() is
         always exact)."""
         self.submit(left, right, timestamp)
-        limit = self.depth * self.batch
-        while len(self._pending) >= limit:
-            self.drain_one()
         return self._last_pose * self._last_rel
 
     def flush(self) -> Pose3:

@@ -204,6 +204,12 @@ class SuperSLAM:
         # fully synchronous reference-style loop.
         self._tracker = None
         depth = int(os.environ.get("SUPERSLAM_PIPELINE", "3"))
+        # Frame batching (SUPERSLAM_PIPELINE_BATCH, default 1): S frames per
+        # fused dispatch + ONE packed readback — amortizes the tunnel's
+        # per-message costs; the estimator resolves the lagged keyframe
+        # references. Returned per-call poses lag by up to `batch` frames
+        # (constant-velocity predicted); corrected_trajectory() is exact.
+        batch = int(os.environ.get("SUPERSLAM_PIPELINE_BATCH", "1"))
         if use_viewer:
             depth = 0  # the viewer draws per frame; stay synchronous
         if not self._rgbd and depth > 1:
@@ -213,6 +219,7 @@ class SuperSLAM:
                 self.pipeline,
                 self.estimator,
                 depth=depth,
+                batch=max(1, batch),
                 keep_gray=self.loop_enabled,
             )
 

@@ -114,3 +114,41 @@ def test_pipelined_trajectory_equals_synchronous(setup):
     # insertion; poses must agree closely everywhere.
     for a, b in zip(ta, tb):
         assert np.linalg.norm(a.t - b.t) < 0.2
+
+
+def test_batched_pipelined_trajectory_equals_synchronous(setup):
+    """Frame batching (S frames per fused dispatch, one packed readback) may
+    lag keyframe adoption by up to S frames, but the corrected trajectory
+    must stay close to the synchronous reference and every frame must get a
+    real (non-coasted) solve."""
+    calib, fused, unfused, matcher = setup
+    seq = frames(10, seed=7)
+
+    fused_a = FusedStereoPipeline(
+        fused.sp_params, fused.lg_params, calib, width=W, height=H,
+        max_keypoints=K, keypoint_threshold=5e-4,
+    )
+    est_a = VoEstimator(matcher, calib, window_size=4)
+    for i, (l, r) in enumerate(seq):
+        frame, m = fused_a.process(l, r, 0.1 * i)
+        est_a.track(frame, kf_matches=m)
+        if est_a._last_keyframe is frame:
+            fused_a.set_keyframe(frame.descriptors_left)
+
+    for batch in (2, 3):
+        fused_b = FusedStereoPipeline(
+            fused.sp_params, fused.lg_params, calib, width=W, height=H,
+            max_keypoints=K, keypoint_threshold=5e-4,
+        )
+        est_b = VoEstimator(matcher, calib, window_size=4)
+        tracker = PipelinedStereoTracker(fused_b, est_b, depth=2, batch=batch)
+        assert est_b._kf_store_size >= 2 * batch + 2
+        for i, (l, r) in enumerate(seq):
+            tracker.track(l, r, 0.1 * i)
+        tracker.flush()
+
+        ta = est_a.corrected_trajectory()
+        tb = est_b.corrected_trajectory()
+        assert len(ta) == len(tb) == len(seq)
+        for a, b in zip(ta, tb):
+            assert np.linalg.norm(a.t - b.t) < 0.25, batch
