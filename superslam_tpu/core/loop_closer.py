@@ -50,6 +50,7 @@ class LoopResult:
     relative_pose: Pose3 = field(default_factory=Pose3)  # T_matched_query
     noise_sigmas: np.ndarray | None = None  # (6,) diagonal, Huber-robustified
     inliers: int = 0
+    best_score: float = 0.0  # top retrieval score (the viewer's loop_deep_score)
 
 
 class LoopCloser:
@@ -83,15 +84,17 @@ class LoopCloser:
             query.global_descriptor, self.params.exclude_recent, self.params.top_k
         )
         best = cands[0] if cands else None
+        best_score = float(best.score) if best else 0.0
         if not self.voter.vote(best):
-            return LoopResult()
+            return LoopResult(best_score=best_score)
         for c in cands:
             if c.score < self.params.min_score:
                 break  # sorted descending; nothing better remains
             r = self.verify(query, self.db.get(c.keyframe_id))
             if r.accepted:
+                r.best_score = best_score
                 return r
-        return LoopResult()
+        return LoopResult(best_score=best_score)
 
     def verify(self, query: KeyframeRecord, candidate: KeyframeRecord) -> LoopResult:
         out = LoopResult(matched_keyframe=candidate.keyframe_id)

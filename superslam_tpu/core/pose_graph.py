@@ -121,6 +121,41 @@ class GlobalPoseGraph:
 
     # -- internals ------------------------------------------------------------
     def _solve(self) -> dict[int, Pose3] | None:
+        """Native C++ LM when the core is built (SUPERSLAM_NATIVE=0 forces
+        the numpy oracle); both run the same factors/Huber/damping. The
+        Python loop costs E edges x up to 100 iters on the loop worker —
+        real minutes of the single host core at a few hundred keyframes."""
+        import os
+
+        if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
+            from .. import native
+
+            if native.available():
+                return self._solve_native()
+        return self._solve_numpy()
+
+    def _solve_native(self) -> dict[int, Pose3] | None:
+        from .. import native
+
+        ids = self._nodes
+        if not ids:
+            return {}
+        idx = {k: i for i, k in enumerate(ids)}
+        seeds = [self._seeds[k] for k in ids]
+        edges = [
+            (idx[i], idx[j], rel, w, 0.0) for i, j, rel, w in self._odom
+        ] + [(idx[i], idx[j], rel, w, hk) for i, j, rel, w, hk in self._loops]
+        prior_idx, prior_sigma = 0, 1e-4
+        if self._prior is not None:
+            pid, pp, psig = self._prior
+            prior_idx, prior_sigma = idx[pid], psig
+            seeds[prior_idx] = seeds[prior_idx] if seeds[prior_idx].is_finite() else pp
+        result = native.pose_graph_lm(seeds, edges, prior_idx, prior_sigma)
+        if result is None:
+            return None
+        return {k: result[i] for k, i in idx.items()}
+
+    def _solve_numpy(self) -> dict[int, Pose3] | None:
         ids = self._nodes
         K = len(ids)
         if K == 0:

@@ -127,6 +127,12 @@ class VoEstimator:
         self._loop_count_lock = threading.Lock()
         self.map = SparseMap()
 
+        # Viewer scalar series (reference RerunViewer.cc:33-41): per-frame
+        # tracked-landmark inlier ratio and the latest loop retrieval score
+        # (plain float writes; read lock-free by the viewer thread).
+        self.last_inlier_ratio = 0.0
+        self.last_loop_score = 0.0
+
     # -- lifecycle -----------------------------------------------------------
     def enable_loop_closure(self, loop_closer: LoopCloser, async_: bool = True) -> None:
         self._global_graph = GlobalPoseGraph()
@@ -246,6 +252,7 @@ class VoEstimator:
                     frame_matched_landmark[fidx] = lm
 
         n_matches = len(kf_idx_list)
+        self.last_inlier_ratio = n_matches / max(1, len(kf))
         if n_matches > 0:
             Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
             meas = frame.stereo[np.asarray(fr_idx_list)]
@@ -464,6 +471,7 @@ class VoEstimator:
             )
             self._loop_closer.add_keyframe(msg.record)
             loop_result = self._loop_closer.detect(msg.record)
+            self.last_loop_score = loop_result.best_score
 
         if loop_result is None or not loop_result.accepted:
             return  # no loop; the odometry edge is recorded

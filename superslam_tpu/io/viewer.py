@@ -35,6 +35,22 @@ class RerunViewer:
             else:
                 rr.spawn()
             self._rr = rr
+            try:
+                # Static series registration, mirroring the reference's
+                # RerunViewer.cc:33-41 names/styling.
+                rr.log_static(
+                    "plots/loop_deep_score",
+                    rr.SeriesLine(color=[255, 64, 64], name="Loop deep score"),
+                )
+                rr.log_static(
+                    "plots/frontend_inlier_ratio",
+                    rr.SeriesLine(
+                        color=[64, 200, 64],
+                        name="Frontend landmark inlier ratio",
+                    ),
+                )
+            except Exception:
+                pass  # older rerun SDKs; per-point logging still works
         except Exception:
             get_logger().info(
                 "rerun SDK unavailable; falling back to matplotlib recorder"

@@ -22,7 +22,11 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
-_SO = os.path.join(_CSRC, "libsuperslam_core.so")
+# SUPERSLAM_NATIVE_SO points at an alternative build, e.g. the ASan/UBSan
+# library produced by `make -C csrc sanitize-test`.
+_SO = os.environ.get(
+    "SUPERSLAM_NATIVE_SO", os.path.join(_CSRC, "libsuperslam_core.so")
+)
 
 _d = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

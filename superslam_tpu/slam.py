@@ -245,6 +245,10 @@ class SuperSLAM:
         self._live_poses.append(pose)
         if self.viewer is not None:
             self.viewer.draw_frame(frame, pose, self.calib)
+            # scalar series parity with the reference RerunViewer
+            self.viewer.plot("frontend_inlier_ratio", self.estimator.last_inlier_ratio)
+            if self.loop_enabled:
+                self.viewer.plot("loop_deep_score", self.estimator.last_loop_score)
         return pose.inverse().matrix()
 
     def track_rgbd(
@@ -259,6 +263,10 @@ class SuperSLAM:
         self._live_poses.append(pose)
         if self.viewer is not None:
             self.viewer.draw_frame(frame, pose, self.calib)
+            # scalar series parity with the reference RerunViewer
+            self.viewer.plot("frontend_inlier_ratio", self.estimator.last_inlier_ratio)
+            if self.loop_enabled:
+                self.viewer.plot("loop_deep_score", self.estimator.last_loop_score)
         return pose.inverse().matrix()
 
     # -- outputs --------------------------------------------------------------

@@ -81,3 +81,39 @@ def test_warm_start_and_idempotent_add():
     assert g.size() == 1
     r = g.optimize_and_get_all()
     assert r[0].translation_norm() < 1e-6
+
+
+def test_native_and_numpy_solvers_agree(monkeypatch):
+    """optimize_and_get_all routes through the C++ core when built; both
+    backends run the same factors/Huber/damping and must agree on a graph
+    with drift + a loop edge."""
+    from superslam_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core not built")
+
+    def build():
+        g = GlobalPoseGraph()
+        rng = np.random.default_rng(3)
+        pose = Pose3()
+        g.add_keyframe(0, pose, is_first=True)
+        for i in range(1, 12):
+            rel = Pose3.expmap(
+                np.concatenate([rng.normal(0, 0.02, 3), [1.0, 0, 0.05]])
+            )
+            drift = Pose3.expmap(rng.normal(0, 0.01, 6))
+            pose = pose * rel * drift
+            g.add_keyframe(i, pose, is_first=False)
+            g.add_odometry(i - 1, i, rel, _sigmas())
+        g.add_loop(0, 11, Pose3(t=np.array([0.5, 0, 0])), _sigmas())
+        return g
+
+    monkeypatch.setenv("SUPERSLAM_NATIVE", "1")
+    rn = build().optimize_and_get_all()
+    monkeypatch.setenv("SUPERSLAM_NATIVE", "0")
+    rp = build().optimize_and_get_all()
+    for k in rn:
+        d = rn[k].inverse() * rp[k]
+        assert np.linalg.norm(d.logmap()) < 1e-4, (k, d.logmap())
