@@ -6,7 +6,7 @@ PY ?= python
 SEQ ?= 00
 DATASET_ROOT ?= datasets
 
-.PHONY: test bench native run-kitti run-euroc run-tum evaluate-kitti clean
+.PHONY: test bench native sanitize-test run-kitti run-euroc run-tum evaluate-kitti clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -16,6 +16,9 @@ bench:
 
 native:
 	$(MAKE) -C csrc
+
+sanitize-test:
+	$(MAKE) -C csrc sanitize-test
 
 run-kitti: native
 	SUPERSLAM_ENABLE_LOOP=1 $(PY) examples/kitti.py configs/KITTI00-02.yaml \
