@@ -20,6 +20,7 @@ per landmark.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict, deque
 from dataclasses import dataclass
 
@@ -119,10 +120,15 @@ class WindowSmoother:
 
         try:
             with profile_scope("ws_solve"):
-                result = self._lm(
-                    poses, groups, sigma_px, dyn_outlier_px, prior_pose,
-                    prior_sigma, max_iters,
-                )
+                if os.environ.get("SUPERSLAM_XLA_SMOOTHER") == "1":
+                    result = self._lm_xla(
+                        poses, groups, sigma_px, dyn_outlier_px, max_iters
+                    )
+                else:
+                    result = self._lm(
+                        poses, groups, sigma_px, dyn_outlier_px, prior_pose,
+                        prior_sigma, max_iters,
+                    )
         except Exception:
             return  # keep previous poses (WindowSmoother.cc:112-116)
 
@@ -244,6 +250,65 @@ class WindowSmoother:
         dxi = prior_pose.local(poses[0])
         err += 0.5 * float(dxi @ dxi) * prior_info
         return err
+
+    def _lm_xla(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        sigma_px: float,
+        dyn_outlier_px: float,
+        max_iters: int,
+    ) -> list[Pose3] | None:
+        """SUPERSLAM_XLA_SMOOTHER=1: the whole window LM as one on-device
+        program (ops/window_solver.py::solve_window, oracle-pinned to the
+        numpy path). Groups are merged into ONE padded (L, m_max) problem;
+        L is bucketed to multiples of 64 so XLA compiles a handful of shapes
+        per window size instead of one per landmark count."""
+        import jax.numpy as jnp
+
+        from ..ops.window_solver import solve_window
+
+        K = len(poses)
+        m_max = max(groups)
+        L = sum(v.shape[0] for v, _ in groups.values())
+        Lp = max(64, -(-L // 64) * 64)
+        views = np.zeros((Lp, m_max), np.int32)
+        meas = np.zeros((Lp, m_max, 3), np.float32)
+        obs_valid = np.zeros((Lp, m_max), bool)
+        lm_valid = np.zeros((Lp,), bool)
+        r = 0
+        for m in sorted(groups):
+            v, x = groups[m]
+            n = v.shape[0]
+            views[r : r + n, :m] = v
+            meas[r : r + n, :m] = x
+            obs_valid[r : r + n, :m] = True
+            lm_valid[r : r + n] = True
+            r += n
+        c = self.calib
+        R, t = solve_window(
+            jnp.asarray(np.stack([p.R for p in poses]).astype(np.float32)),
+            jnp.asarray(np.stack([p.t for p in poses]).astype(np.float32)),
+            jnp.asarray(views),
+            jnp.asarray(meas),
+            jnp.asarray(lm_valid),
+            jnp.asarray(obs_valid),
+            (c.fx, c.fy, c.cx, c.cy, c.baseline),
+            inv_sigma=1.0 / sigma_px,
+            dyn_outlier_px=dyn_outlier_px,
+            prior_info=1e8,  # gauge prior sigma 1e-4, as the numpy path
+            num_poses=K,
+            max_iters=max_iters,
+        )
+        R = np.asarray(R, np.float64)
+        t = np.asarray(t, np.float64)
+        out = []
+        for k in range(K):
+            # re-orthonormalize the f32 rotation before it re-enters the
+            # f64 geometry stack
+            u, _, vt = np.linalg.svd(R[k])
+            out.append(Pose3(R=u @ vt, t=t[k]))
+        return out
 
     def _lm(
         self,

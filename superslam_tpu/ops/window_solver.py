@@ -242,8 +242,15 @@ def solve_window(
         _, dxi0 = prior_err(R, t)
         H = H.at[:6, :6].add(prior_info * jnp.eye(6))
         b = b.at[:6].add(prior_info * dxi0)
-        delta = jnp.linalg.solve(H + lam * jnp.eye(6 * K), -b)
-        ok = jnp.isfinite(delta).all()
+        # Marquardt damping (lam * diag(H)) plus an absolute floor: in f32,
+        # a pose block can be near-singular when the dynamic outlier gate
+        # rejects most landmarks at a poor seed — pure additive damping then
+        # amplifies numerical residue into a huge garbage step that the
+        # masked error function spuriously accepts (fewer surviving
+        # landmarks => smaller error).
+        damp = lam * (jnp.diag(H) + 1.0)
+        delta = jnp.linalg.solve(H + jnp.diag(damp), -b)
+        ok = jnp.isfinite(delta).all() & (jnp.linalg.norm(delta) < 1e3)
         Rn, tn = retract_all(R, t, jnp.where(ok, delta, 0.0))
         new_err = total_error(Rn, tn)
         accept = ok & (new_err < err)

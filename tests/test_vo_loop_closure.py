@@ -169,3 +169,29 @@ def test_coast_on_tracking_loss():
     p = vo.track(make_frame(Pose3(t=step * 3), lms, calib, 0.3))
     assert np.linalg.norm(p.t - step * 3) < 0.2
     assert p.is_finite()
+
+
+def test_square_loop_with_xla_smoother(monkeypatch):
+    """SUPERSLAM_XLA_SMOOTHER=1: the on-device window LM replaces the numpy
+    smoother inside the full VO+loop pipeline; the corrected trajectory must
+    stay within a tight bound of the numpy run."""
+    import numpy as np
+
+    calib = make_calib()
+    lms = world_landmarks()
+
+    def run():
+        matcher = IdentityMatcher(len(lms))
+        vo = VoEstimator(matcher, calib, window_size=6)
+        vo.enable_loop_closure(make_loop_closer(matcher, calib), async_=False)
+        drive_square_loop(vo, calib, lms)
+        vo.stop_loop_worker()
+        return vo.corrected_trajectory()
+
+    monkeypatch.delenv("SUPERSLAM_XLA_SMOOTHER", raising=False)
+    ref = run()
+    monkeypatch.setenv("SUPERSLAM_XLA_SMOOTHER", "1")
+    got = run()
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert np.linalg.norm(a.t - b.t) < 0.1

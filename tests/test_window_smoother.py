@@ -87,3 +87,34 @@ def test_divergence_keeps_previous_poses():
         p = sm.pose_of(i)
         assert p.is_finite()
         assert p.translation_norm() < 1e6
+
+
+def test_xla_smoother_matches_numpy(monkeypatch):
+    """SUPERSLAM_XLA_SMOOTHER=1 routes optimize() through the on-device
+    solve_window; the recovered window must match the numpy oracle."""
+    calib = make_calib()
+    gt = [Pose3(t=np.array([float(i), 0.0, 0.0])) for i in range(4)]
+    lms = np.array(
+        [[0, 0, 8], [2, 1, 10], [-1, -1, 7], [3, 2, 12], [1, -2, 9], [-2, 1, 11]],
+        dtype=float,
+    )
+    offset = Pose3.expmap(np.array([0.0, 0.0, 0.02, 0.1, -0.05, 0.08]))
+
+    def run():
+        sm = WindowSmoother(calib, window_size=4)
+        for k, tp in enumerate(gt):
+            seed = tp if k == 0 else tp * offset
+            sm.add_keyframe(k, seed, observe(tp, lms, calib))
+        sm.optimize()
+        return [sm.pose_of(k) for k in range(4)]
+
+    monkeypatch.delenv("SUPERSLAM_XLA_SMOOTHER", raising=False)
+    ref = run()
+    monkeypatch.setenv("SUPERSLAM_XLA_SMOOTHER", "1")
+    got = run()
+    for a, b in zip(ref, got):
+        assert np.linalg.norm(a.t - b.t) < 0.02
+        assert np.abs(a.R - b.R).max() < 0.02
+        # both recover ground truth
+    for k, tp in enumerate(gt):
+        assert np.linalg.norm(got[k].t - tp.t) < 0.05
