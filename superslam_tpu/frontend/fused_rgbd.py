@@ -109,7 +109,23 @@ class FusedRgbdPipeline:
             )
             p = np.asarray(packed)  # the ONE host readback this frame
 
+        feats = PaddedFeatures(
+            kpts=kpts_dev,
+            desc=desc_dev,
+            n=0,  # filled by decode_packed
+            width=self.width,
+            height=self.height,
+            valid=valid_dev,
+        )
+        return self.decode_packed(p, depth, timestamp, feats)
+
+    def decode_packed(
+        self, p: np.ndarray, depth: np.ndarray, timestamp: float, feats
+    ) -> tuple[StereoFrame, MatchResult]:
+        """Host-side decode of one frame's (3, K) int16 block: valid-prefix
+        count, undistortion, raw-pixel depth sampling, uR synthesis."""
         n = int((p[0].astype(np.int32) >= 0).sum())  # valid prefix (x == -1 pad)
+        feats.n = n
         raw = np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float64)
         if self.dist_coeffs is not None and n > 0:
             undist = undistort_points(raw.astype(np.float64), self.calib, self.dist_coeffs)
@@ -129,14 +145,7 @@ class FusedRgbdPipeline:
         frame = StereoFrame(
             timestamp=timestamp,
             keypoints_left=undist.astype(np.float32),
-            descriptors_left=PaddedFeatures(
-                kpts=kpts_dev,
-                desc=desc_dev,
-                n=n,
-                width=self.width,
-                height=self.height,
-                valid=valid_dev,
-            ),
+            descriptors_left=feats,
             stereo=stereo,
             has_depth=valid,
             scores=np.ones(n, np.float32),

@@ -45,9 +45,14 @@ class _AsyncPacked:
     its transfer then queues behind later dispatches and blocks ~50 ms.)
     """
 
-    def __init__(self, packed, s: int):
+    def __init__(self, packed, s: int, rows: int | None = None):
+        if rows is None:
+            from ..ops.frontend_step import PACK_ROWS
+
+            rows = PACK_ROWS
         self._packed = packed
         self._s = s
+        self._rows = rows
         self._host: np.ndarray | None = None
         try:
             packed.copy_to_host_async()
@@ -56,9 +61,7 @@ class _AsyncPacked:
 
     def result(self) -> np.ndarray:
         if self._host is None:
-            from ..ops.frontend_step import PACK_ROWS
-
-            self._host = np.asarray(self._packed).reshape(self._s, PACK_ROWS, -1)
+            self._host = np.asarray(self._packed).reshape(self._s, self._rows, -1)
         return self._host
 
 

@@ -1,0 +1,169 @@
+"""Software-pipelined RGB-D tracking with frame batching.
+
+The RGB-D analogue of frontend/pipelined.py (see its module docstring for
+the link-scheduling rationale, which is identical): S frames per fused
+dispatch + ONE packed readback, uploads streamed at submit time, results
+drained before the next dispatch, runtime-level async D2H. The depth image
+never visits the device — it rides along in the in-flight record and is
+sampled on host at decode time (reference split: src/RgbdFrontEnd.cc:23-58).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from ..core.vo_estimator import VoEstimator
+from ..geometry.se3 import Pose3
+from ..utils.profiler import profile_scope
+from .fused_rgbd import FusedRgbdPipeline
+from .pipelined import _AsyncPacked
+
+
+@dataclass
+class _InFlight:
+    timestamp: float
+    packed: "_AsyncPacked"
+    slot: int
+    desc: Any  # batched (S, K, D) program output (lazily sliced)
+    kpts: Any
+    valid: Any
+    kf_ref_id: int | None
+    depth_img: np.ndarray
+    gray: np.ndarray | None
+
+
+class PipelinedRgbdTracker:
+    def __init__(
+        self,
+        pipeline: FusedRgbdPipeline,
+        estimator: VoEstimator,
+        depth: int = 3,
+        batch: int = 1,
+        keep_gray: bool = False,
+    ):
+        self.pipeline = pipeline
+        self.estimator = estimator
+        self.depth = max(1, int(depth))
+        self.batch = max(1, int(batch))
+        estimator._kf_store_size = max(
+            estimator._kf_store_size, self.depth * self.batch + 2
+        )
+        self.keep_gray = keep_gray
+        self._staged: list[tuple[Any, np.ndarray, float, np.ndarray | None]] = []
+        self._pending: deque[_InFlight] = deque()
+        self._last_pose = Pose3()
+        self._last_rel = Pose3()
+        self._have_kf = False
+
+    # -- pipeline ------------------------------------------------------------
+    def submit(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float) -> None:
+        import jax.numpy as jnp
+
+        with profile_scope("pl_prepare"):
+            prep = self.pipeline._prepare_np(gray)
+        with profile_scope("pl_upload"):
+            dev = jnp.asarray(prep)
+        self._staged.append(
+            (
+                dev,
+                np.asarray(depth_img),
+                timestamp,
+                np.array(gray, copy=True) if self.keep_gray else None,
+            )
+        )
+        if len(self._staged) >= self.batch:
+            while len(self._pending) > (self.depth - 1) * self.batch:
+                self.drain_one()
+            self._dispatch()
+
+    def _dispatch(self) -> None:
+        if not self._staged:
+            return
+        pl = self.pipeline
+        staged, self._staged = self._staged, []
+        n_real = len(staged)
+        while len(staged) < self.batch:
+            staged.append(staged[-1])
+        import jax.numpy as jnp
+
+        from ..ops.rgbd_step import RGBD_PACK_ROWS, fused_rgbd_step_multi
+
+        images = (
+            staged[0][0]
+            if self.batch == 1
+            else jnp.concatenate([d for d, _, _, _ in staged], axis=0)
+        )
+        packed, desc, kpts, valid = fused_rgbd_step_multi(
+            pl.sp_params,
+            pl.lg_params,
+            images,
+            pl._kf_kpts,
+            pl._kf_desc,
+            pl._kf_valid,
+            max_keypoints=pl.K,
+            keypoint_threshold=pl.keypoint_threshold,
+            remove_borders=pl.remove_borders,
+            nms_radius=pl.nms_radius,
+            true_width=pl.width,
+            true_height=pl.height,
+            match_threshold=pl.match_threshold,
+        )
+        S = len(staged)
+        fut = _AsyncPacked(packed, S, RGBD_PACK_ROWS)
+        kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
+        for s, (_, depth_img, ts, gray) in enumerate(staged[:n_real]):
+            self._pending.append(
+                _InFlight(ts, fut, s, desc, kpts, valid, kf_ref, depth_img, gray)
+            )
+
+    def drain_one(self) -> Pose3 | None:
+        if not self._pending:
+            return None
+        item = self._pending.popleft()
+        with profile_scope("pl_fetch_wait"):
+            frame, kf_matches = self._decode(item)
+        prev = self._last_pose
+        pose = self.estimator.track(
+            frame,
+            item.gray,
+            kf_matches=kf_matches if item.kf_ref_id is not None else None,
+            kf_ref_id=item.kf_ref_id,
+        )
+        if self.estimator._last_keyframe is frame:
+            self.pipeline.set_keyframe(frame.descriptors_left)
+        self._last_rel = prev.between(pose)
+        self._last_pose = pose
+        self._have_kf = True
+        return pose
+
+    def _decode(self, item: _InFlight):
+        from .features import LazySlotFeatures
+
+        p = item.packed.result()[item.slot]
+        feats = LazySlotFeatures(
+            item.kpts,
+            item.desc,
+            item.valid,
+            slot=item.slot,
+            n=0,  # filled by decode_packed
+            width=self.pipeline.width,
+            height=self.pipeline.height,
+        )
+        return self.pipeline.decode_packed(p, item.depth_img, item.timestamp, feats)
+
+    # -- public API ------------------------------------------------------------
+    def track(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float) -> Pose3:
+        """Submit this frame; returns the constant-velocity prediction (exact
+        pose lands within `batch` calls; corrected_trajectory() is exact)."""
+        self.submit(gray, depth_img, timestamp)
+        return self._last_pose * self._last_rel
+
+    def flush(self) -> Pose3:
+        self._dispatch()
+        while self._pending:
+            self.drain_one()
+        return self._last_pose

@@ -88,9 +88,14 @@ def _front_convs_pallas(
         to_canvas,
     )
 
+    def lane_pad(t):
+        wp = -(-t.shape[3] // 128) * 128
+        if wp == t.shape[3]:
+            return t
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, wp - t.shape[3])))
+
     b, h, w = image.shape
-    wp = -(-w // 128) * 128
-    x = to_canvas(image, wp)
+    x = lane_pad(to_canvas(image, w))
     x = conv1a1b_chw(
         x,
         params["conv1a.weight"],
@@ -101,25 +106,21 @@ def _front_convs_pallas(
         interpret=interpret,
         out_dtype=compute_dtype,
     )
-    for name, w_img in (
-        ("pool", w // 2),
-        ("conv2a", w // 2),
-        ("conv2b", w // 2),
-        ("pool", w // 4),
-    ):
-        if name == "pool":
-            x = pool2_canvas(x)
-        else:
-            x = conv3x3_chw(
-                x,
-                params[f"{name}.weight"],
-                params[f"{name}.bias"],
-                relu=True,
-                w_img=w_img,
-                interpret=interpret,
-                out_dtype=compute_dtype,
-            )
-    core = x[:, :, PAD_ROWS : PAD_ROWS + h // 4, :]  # (B, 64, H/4, Wp/4)
+    x = lane_pad(pool2_canvas(x))
+    for name in ("conv2a", "conv2b"):
+        x = conv3x3_chw(
+            x,
+            params[f"{name}.weight"],
+            params[f"{name}.bias"],
+            relu=True,
+            w_img=w // 2,
+            interpret=interpret,
+            out_dtype=compute_dtype,
+        )
+    x = pool2_canvas(x)
+    # Slice to the EXACT quarter-res extent: from here the XLA stages see
+    # the same canvas as the pure-XLA path (SAME padding semantics and all).
+    core = x[:, :, PAD_ROWS : PAD_ROWS + h // 4, : w // 4]
     return core.transpose(0, 2, 3, 1)  # NHWC
 
 
@@ -157,17 +158,6 @@ def superpoint_dense(
             interpret=jax.default_backend() == "cpu",
             compute_dtype=compute_dtype,
         )
-
-        # The widened canvas needs its zero pad columns RE-zeroed after
-        # every 3x3 stage: SAME padding re-zeroes the boundary at each conv
-        # in the exact-width path, while here a conv turns the zero pad into
-        # relu(bias), which the next 3x3 would smear ~5 cells into the
-        # valid region.
-        def _maskw(t, wv):
-            col = jax.lax.broadcasted_iota(jnp.int32, t.shape[:3], 2)
-            return jnp.where(col[..., None] < wv, t, 0)
-
-        wq = w_ // 4
     else:
         x = image[..., None]  # NHWC
         x = relu(_conv(x, params, "conv1a", compute_dtype))
@@ -176,20 +166,11 @@ def superpoint_dense(
         x = relu(_conv(x, params, "conv2a", compute_dtype))
         x = relu(_conv(x, params, "conv2b", compute_dtype))
         x = _pool2(x)
-
-        def _maskw(t, wv):  # exact-width path: nothing to mask
-            return t
-
-        wq = None
     x = relu(_conv(x, params, "conv3a", compute_dtype))
-    x = _maskw(x, wq)
     x = relu(_conv(x, params, "conv3b", compute_dtype))
     x = _pool2(x)
-    x = _maskw(x, None if wq is None else wq // 2)
     x = relu(_conv(x, params, "conv4a", compute_dtype))
-    x = _maskw(x, None if wq is None else wq // 2)
     x = relu(_conv(x, params, "conv4b", compute_dtype))
-    x = _maskw(x, None if wq is None else wq // 2)
 
     # Detector head: 65 channels = 8x8 cell logits + dustbin.
     cPa = relu(_conv(x, params, "convPa", compute_dtype))

@@ -89,3 +89,68 @@ def fused_rgbd_step(
         axis=0,
     ).astype(jnp.int16)
     return packed, dl, kl, vl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "match_threshold",
+    ),
+)
+def fused_rgbd_step_multi(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (S, H, W) uint8, padded
+    kf_kpts: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    match_threshold: float,
+):
+    """S consecutive RGB frames in ONE program (the RGB-D analogue of
+    fused_stereo_step_multi): S pair-batched LightGlue track matches against
+    the shared keyframe state, one packed (S*RGBD_PACK_ROWS, K) readback.
+    Frame s owns rows [s*RGBD_PACK_ROWS, (s+1)*RGBD_PACK_ROWS)."""
+    S = images_u8.shape[0]
+    images = images_u8.astype(jnp.float32) / 255.0
+    scores, grid = superpoint_dense(sp_params, images, nms_radius=nms_radius)
+    kpts, kp_scores, valid, desc = select_keypoints(
+        scores,
+        grid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        true_width,
+        true_height,
+    )
+
+    scale = max(true_width, true_height) / 2.0
+    center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
+    nk = (kpts - center) / scale
+    kf_k = jnp.broadcast_to(((kf_kpts - center) / scale)[None], nk.shape)
+    kf_d = jnp.broadcast_to(kf_desc[None].astype(desc.dtype), desc.shape)
+    kf_v = jnp.broadcast_to(kf_valid[None], valid.shape)
+    la = lightglue_forward(lg_params, kf_k, kf_d, nk, desc, kf_v, valid)
+    track_m, _ = extract_matches(la, kf_v, valid, match_threshold)
+    del kp_scores
+
+    packed = jnp.stack(
+        [
+            jnp.where(valid, kpts[..., 0], -1.0),
+            kpts[..., 1],
+            track_m.astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.int16)  # (S, 3, K)
+    return packed.reshape(S * RGBD_PACK_ROWS, -1), desc, kpts, valid

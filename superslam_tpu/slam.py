@@ -222,6 +222,16 @@ class SuperSLAM:
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
             )
+        elif self._rgbd and depth > 1:
+            from .frontend.pipelined_rgbd import PipelinedRgbdTracker
+
+            self._tracker = PipelinedRgbdTracker(
+                self.rgbd_pipeline,
+                self.estimator,
+                depth=depth,
+                batch=max(1, batch),
+                keep_gray=self.loop_enabled,
+            )
 
     # -- tracking -------------------------------------------------------------
     def track_stereo(
@@ -254,6 +264,11 @@ class SuperSLAM:
     def track_rgbd(
         self, gray: np.ndarray, depth: np.ndarray, timestamp: float
     ) -> np.ndarray:
+        if self._tracker is not None:
+            pose = self._tracker.track(gray, depth, timestamp)
+            self._timestamps.append(timestamp)
+            self._live_poses.append(pose)
+            return pose.inverse().matrix()
         frame, kf_matches = self.rgbd_pipeline.process(gray, depth, timestamp)
         img = gray if self.loop_enabled else None
         pose = self.estimator.track(frame, img, kf_matches=kf_matches)

@@ -155,3 +155,41 @@ loop:
     assert np.isfinite(rec.global_descriptor).all()
     assert rec.descriptors_left.shape[1] == 256
     slam.shutdown()
+
+
+def test_rgbd_pipelined_matches_synchronous(config_path, tmp_path, monkeypatch):
+    """The pipelined RGB-D tracker (default) must produce the same corrected
+    trajectory as the synchronous path (SUPERSLAM_PIPELINE=0)."""
+    cfg = CONFIG + "\nDepthMapFactor: 5000.0\n"
+    p = tmp_path / "rgbd.yaml"
+    p.write_text(cfg)
+    rng = np.random.default_rng(4)
+    base = rng.uniform(0, 255, (152, 192)).astype(np.uint8)
+    dbase = (rng.uniform(0.5, 3.0, (152, 192)) * 5000).astype(np.uint16)
+    seq = []
+    for i in range(6):
+        seq.append(
+            (
+                base[i : i + 120, 2 * i : 2 * i + 160],
+                dbase[i : i + 120, 2 * i : 2 * i + 160],
+            )
+        )
+
+    def run(pipeline_env):
+        monkeypatch.setenv("SUPERSLAM_PIPELINE", pipeline_env)
+        monkeypatch.setenv("SUPERSLAM_PIPELINE_BATCH", "2")
+        slam = SuperSLAM(str(p))
+        for i, (g, d) in enumerate(seq):
+            slam.track_rgbd(g, d, 0.1 * i)
+        if slam._tracker is not None:
+            slam._tracker.flush()
+        slam.estimator.stop_loop_worker()
+        traj = slam.estimator.corrected_trajectory()
+        slam.shutdown()
+        return traj
+
+    sync = run("0")
+    piped = run("3")
+    assert len(sync) == len(piped) == len(seq)
+    for a, b in zip(sync, piped):
+        assert np.linalg.norm(a.t - b.t) < 0.2
