@@ -4,7 +4,7 @@ inlier-floor rejection (mirrors tests/test_loop_closer.cc:94-138)."""
 import numpy as np
 
 from superslam_tpu.core.keyframes import KeyframeRecord
-from superslam_tpu.core.loop_closer import LoopCloser, LoopParams
+from superslam_tpu.core.loop_closer import LoopCloser, LoopParams, LoopResult
 from superslam_tpu.geometry import Pose3, stereo_project
 
 from helpers import IdentityMatcher, StubRecognizer, make_calib, place_desc
@@ -89,6 +89,87 @@ def test_detect_end_to_end():
     assert r.matched_keyframe == 0
     # The recovered edge ~ (0.05, 0, 0).
     assert np.linalg.norm(r.relative_pose.t - np.array([0.05, 0, 0])) < 1e-2
+
+
+class _ScriptedRecognizer:
+    """Returns a scripted, score-descending candidate list per detect call."""
+
+    def __init__(self, script):
+        self.script = list(script)
+
+    def compute_global_descriptor(self, image):
+        return np.zeros(4, np.float32)
+
+    def add(self, keyframe_id, global_descriptor):
+        pass
+
+    def query(self, global_descriptor, exclude_recent, top_k):
+        from superslam_tpu.core.place_recognition import LoopCandidate
+
+        step = self.script.pop(0) if self.script else []
+        return [LoopCandidate(k, s) for k, s in step]
+
+
+def test_detect_vote_then_verify_interleaving():
+    """Pin the exact reference ordering (LoopCloser.cc:105-125):
+
+    1. voter.vote(best) fires on the TOP candidate BEFORE any min_score
+       filtering — a below-threshold best still accumulates votes;
+    2. verify() is never called until the vote passes;
+    3. once it passes, candidates are verified in descending-score order and
+       the scan BREAKS at the first score < min_score (never continues past);
+    4. the first accepted verification wins (no further verify calls);
+    5. an empty candidate list votes None and resets the streak.
+    """
+    calib = make_calib()
+    script = [
+        [(2, 0.70)],                       # below min_score: votes, no verify
+        [(3, 0.90)],                       # streak 2 (|3-2|<=tol): still <3
+        [(2, 0.95), (7, 0.85), (9, 0.60)], # streak 3: verify 2 fail, BREAK at 9
+        [(3, 0.92), (2, 0.88), (4, 0.86)], # streak 4: verify 3 fail, 2 accept
+        [],                                # no candidates: vote(None) resets
+        [(2, 0.99)],                       # streak restarts at 1: no verify
+    ]
+    lc = LoopCloser(
+        IdentityMatcher(4),
+        calib,
+        _ScriptedRecognizer(script),
+        LoopParams(required_votes=3, id_tolerance=5, min_score=0.80),
+    )
+
+    vote_log, verify_log = [], []
+    real_vote = lc.voter.vote
+
+    def spy_vote(best):
+        vote_log.append(None if best is None else (best.keyframe_id, best.score))
+        return real_vote(best)
+
+    def spy_verify(query, candidate):
+        verify_log.append(candidate.keyframe_id)
+        r = LoopResult(matched_keyframe=candidate.keyframe_id)
+        r.accepted = candidate.keyframe_id == 2 and len(verify_log) > 2
+        return r
+
+    lc.voter.vote = spy_vote
+    lc.verify = spy_verify
+    lc.db.get = lambda kf_id: KeyframeRecord(keyframe_id=kf_id)
+
+    q = KeyframeRecord(keyframe_id=99)
+    assert not lc.detect(q).accepted
+    assert vote_log == [(2, 0.70)] and verify_log == []  # voted despite 0.70<0.80
+    assert not lc.detect(q).accepted
+    assert verify_log == []  # streak 2 < 3: still no verification
+    assert not lc.detect(q).accepted
+    # Vote passed; verify in score order, break BEFORE 9 (0.60 < min_score).
+    assert verify_log == [2, 7]
+    r = lc.detect(q)
+    assert r.accepted and r.matched_keyframe == 2
+    assert verify_log == [2, 7, 3, 2]  # stopped at first accept: 4 never tried
+    assert r.best_score == 0.92  # viewer scalar = TOP retrieval score
+    assert not lc.detect(q).accepted
+    assert vote_log[-1] is None  # empty candidates vote None (streak reset)
+    assert not lc.detect(q).accepted
+    assert verify_log == [2, 7, 3, 2]  # streak restarted: vote gate holds again
 
 
 def test_detect_requires_votes():
