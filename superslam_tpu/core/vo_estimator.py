@@ -186,15 +186,20 @@ class VoEstimator:
         left_gray: np.ndarray | None = None,
         kf_matches: "MatchResult | None" = None,
         kf_ref_id: int | None = None,
+        device_pose: Pose3 | None = None,
     ) -> Pose3:
         """Track one frame. `kf_matches` optionally carries precomputed
         frame-to-keyframe matches (the fused device pipeline computes them in
         the same XLA program as extraction); when absent the estimator calls
         the matcher itself, as the reference does (VoEstimator.cc:242-247).
         `kf_ref_id` names the keyframe the precomputed matches refer to — in
-        pipelined mode it may lag the newest keyframe by one insertion."""
+        pipelined mode it may lag the newest keyframe by one insertion.
+        `device_pose` optionally carries the pose solved ON DEVICE in the
+        same program (fused_stereo_track_step_multi); it replaces the host
+        FrameTracker solve but every gate (coast, keyframe, smoothing) still
+        runs here."""
         with profile_scope("vo_track_total"):
-            return self._track(frame, left_gray, kf_matches, kf_ref_id)
+            return self._track(frame, left_gray, kf_matches, kf_ref_id, device_pose)
 
     def _track(
         self,
@@ -202,6 +207,7 @@ class VoEstimator:
         left_gray: np.ndarray | None,
         kf_matches: "MatchResult | None",
         kf_ref_id: int | None = None,
+        device_pose: Pose3 | None = None,
     ) -> Pose3:
         n = len(frame)
 
@@ -220,8 +226,11 @@ class VoEstimator:
                 # The keyframe these matches were computed against has been
                 # evicted (deep pipelines can lag several insertions) —
                 # interpreting them against the current keyframe would feed
-                # wrong 3D-2D correspondences to the solve. Re-match on host.
+                # wrong 3D-2D correspondences to the solve. Re-match on host
+                # (and drop the device pose, which was solved against the
+                # same evicted keyframe state).
                 kf_matches = None
+                device_pose = None
         if kf_matches is not None:
             m = kf_matches
         else:
@@ -254,9 +263,17 @@ class VoEstimator:
         n_matches = len(kf_idx_list)
         self.last_inlier_ratio = n_matches / max(1, len(kf))
         if n_matches > 0:
-            Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
-            meas = frame.stereo[np.asarray(fr_idx_list)]
-            frame_pose = self.tracker.track_arrays(self._previous_frame_pose, Xw, meas)
+            if device_pose is not None:
+                # Solved on device in the fused program against the same
+                # keyframe world points (see frontend.pipelined); the host
+                # LM would converge to the same optimum from its prior.
+                frame_pose = device_pose
+            else:
+                Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
+                meas = frame.stereo[np.asarray(fr_idx_list)]
+                frame_pose = self.tracker.track_arrays(
+                    self._previous_frame_pose, Xw, meas
+                )
         else:
             frame_pose = self._previous_frame_pose
 

@@ -93,6 +93,11 @@ class FusedStereoPipeline:
         self._kf_kpts = jnp.zeros((self.K, 2), jnp.float32)
         self._kf_desc = jnp.zeros((self.K, 256), jnp.float32)
         self._kf_valid = jnp.zeros((self.K,), bool)
+        # World points of the KF's stereo features (device-tracking mode):
+        # uploaded once per keyframe (~7 KB) so the fused program can run the
+        # pose-only LM against them without any host round trip.
+        self._kf_xw = jnp.zeros((self.K, 3), jnp.float32)
+        self._kf_depth_ok = jnp.zeros((self.K,), bool)
 
     def _prepare_np(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """HOST uint8 (2, padH, padW) batch — uint8 upload is 4x cheaper over
@@ -161,3 +166,20 @@ class FusedStereoPipeline:
             self._kf_valid = feats.valid
         else:
             self._kf_valid = jnp.asarray(np.arange(self.K) < feats.n)
+
+    def set_keyframe_world(self, frame: StereoFrame) -> None:
+        """Upload the new keyframe's world points for on-device tracking.
+
+        Must run after the estimator adopted `frame` (its pose is then the
+        window-smoothed Twc — the same pose the host tracker's
+        backproject_all would use, so device and host solves are grounded
+        identically). Rows align with the device keypoint prefix ordering.
+        """
+        xw = np.zeros((self.K, 3), np.float32)
+        depth_ok = np.zeros((self.K,), bool)
+        idx = np.flatnonzero(frame.has_depth[: self.K])
+        if idx.size:
+            xw[idx] = frame.backproject_all(self.calib, idx).astype(np.float32)
+            depth_ok[idx] = True
+        self._kf_xw = jnp.asarray(xw)
+        self._kf_depth_ok = jnp.asarray(depth_ok)

@@ -65,6 +65,23 @@ class _AsyncPacked:
         return self._host
 
 
+class _AsyncPose:
+    """Async D2H handle over the small (S, TRACK_COLS) f32 pose block."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self._host: np.ndarray | None = None
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass
+
+    def result(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._arr)
+        return self._host
+
+
 @dataclass
 class _InFlight:
     timestamp: float
@@ -75,6 +92,7 @@ class _InFlight:
     valid: Any
     kf_ref_id: int | None
     left_gray: np.ndarray | None
+    pose: "_AsyncPose | None" = None  # device-tracking pose block
 
 
 class PipelinedStereoTracker:
@@ -85,11 +103,36 @@ class PipelinedStereoTracker:
         depth: int = 3,
         batch: int = 1,
         keep_gray: bool = False,
+        device_tracking: bool = False,
     ):
         self.pipeline = pipeline
         self.estimator = estimator
         self.depth = max(1, int(depth))
         self.batch = max(1, int(batch))
+        # On-device pose solve (SUPERSLAM_DEVICE_TRACKER): the fused program
+        # also runs the pose-only LM per frame and the host estimator adopts
+        # the solved pose instead of calling FrameTracker — tracking never
+        # leaves the chip. The LM carry (previous pose + constant-velocity
+        # model) lives on device across dispatches; keyframe world points are
+        # uploaded by drain_one at adoption time.
+        self.device_tracking = bool(device_tracking)
+        self._carry = None  # (R, t, rel_R, rel_t) device arrays
+        if self.device_tracking:
+            from ..core.factors import disp_sigma_px, stereo_cond_depth_m
+            from ..utils.env import env_int
+
+            c = pipeline.calib
+            self._trk_calib = (
+                float(c.fx),
+                float(c.fy),
+                float(c.cx),
+                float(c.cy),
+                float(c.baseline),
+            )
+            self._trk_min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
+            self._trk_sigma_px = 10.0  # FrameTracker.cc:24
+            self._trk_disp_sigma0 = float(disp_sigma_px())
+            self._trk_disp_cond = float(c.bf) / float(stereo_cond_depth_m())
         # In-flight frames can lag up to depth*batch insertions behind the
         # newest keyframe; retain enough keyframes that their precomputed
         # matches stay resolvable (an eviction forces a host re-match, which
@@ -147,33 +190,67 @@ class PipelinedStereoTracker:
             staged.append(staged[-1])
         import jax.numpy as jnp
 
-        from ..ops.frontend_step import fused_stereo_step_multi
-
         images = (
             staged[0][0]
             if self.batch == 1
             else jnp.concatenate([d for d, _, _ in staged], axis=0)
         )
-        packed, desc, kpts, valid = fused_stereo_step_multi(
-            pl.sp_params,
-            pl.lg_params,
-            images,
-            pl._kf_kpts,
-            pl._kf_desc,
-            pl._kf_valid,
-            max_keypoints=pl.K,
-            keypoint_threshold=pl.keypoint_threshold,
-            remove_borders=pl.remove_borders,
-            nms_radius=pl.nms_radius,
-            true_width=pl.width,
-            true_height=pl.height,
-            min_disparity=pl.min_disparity,
-            match_threshold=pl.match_threshold,
-        )
+        pose_fut = None
+        if self.device_tracking:
+            from ..ops.frontend_step import fused_stereo_track_step_multi
+
+            if self._carry is None:
+                eye = jnp.eye(3, dtype=jnp.float32)
+                zero = jnp.zeros((3,), jnp.float32)
+                self._carry = (eye, zero, eye, zero)
+            packed, desc, kpts, valid, track_out, self._carry = (
+                fused_stereo_track_step_multi(
+                    pl.sp_params,
+                    pl.lg_params,
+                    images,
+                    pl._kf_kpts,
+                    pl._kf_desc,
+                    pl._kf_valid,
+                    pl._kf_xw,
+                    pl._kf_depth_ok,
+                    *self._carry,
+                    max_keypoints=pl.K,
+                    keypoint_threshold=pl.keypoint_threshold,
+                    remove_borders=pl.remove_borders,
+                    nms_radius=pl.nms_radius,
+                    true_width=pl.width,
+                    true_height=pl.height,
+                    min_disparity=pl.min_disparity,
+                    match_threshold=pl.match_threshold,
+                    calib=self._trk_calib,
+                    min_matches=self._trk_min_matches,
+                    track_sigma_px=self._trk_sigma_px,
+                    disp_sigma0=self._trk_disp_sigma0,
+                    disp_cond=self._trk_disp_cond,
+                )
+            )
+            pose_fut = _AsyncPose(track_out)
+        else:
+            from ..ops.frontend_step import fused_stereo_step_multi
+
+            packed, desc, kpts, valid = fused_stereo_step_multi(
+                pl.sp_params,
+                pl.lg_params,
+                images,
+                pl._kf_kpts,
+                pl._kf_desc,
+                pl._kf_valid,
+                max_keypoints=pl.K,
+                keypoint_threshold=pl.keypoint_threshold,
+                remove_borders=pl.remove_borders,
+                nms_radius=pl.nms_radius,
+                true_width=pl.width,
+                true_height=pl.height,
+                min_disparity=pl.min_disparity,
+                match_threshold=pl.match_threshold,
+            )
         # The program emits a rank-2 (S*PACK_ROWS, K) int16 block; fetch it
         # as-is and split per frame on host.
-        from ..ops.frontend_step import PACK_ROWS
-
         S = len(staged)
         fut = _AsyncPacked(packed, S)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
@@ -192,6 +269,7 @@ class PipelinedStereoTracker:
                     valid,
                     kf_ref,
                     left_gray,
+                    pose=pose_fut,
                 )
             )
 
@@ -201,15 +279,25 @@ class PipelinedStereoTracker:
         item = self._pending.popleft()
         with profile_scope("pl_fetch_wait"):
             frame, kf_matches = self._decode(item)
+        device_pose = None
+        if item.pose is not None and item.kf_ref_id is not None:
+            row = item.pose.result()[item.slot]
+            device_pose = Pose3(
+                R=row[:9].astype(np.float64).reshape(3, 3),
+                t=row[9:12].astype(np.float64),
+            )
         prev = self._last_pose
         pose = self.estimator.track(
             frame,
             item.left_gray,
             kf_matches=kf_matches if item.kf_ref_id is not None else None,
             kf_ref_id=item.kf_ref_id,
+            device_pose=device_pose,
         )
         if self.estimator._last_keyframe is frame:
             self.pipeline.set_keyframe(frame.descriptors_left)
+            if self.device_tracking:
+                self.pipeline.set_keyframe_world(frame)
         self._last_rel = prev.between(pose)
         self._last_pose = pose
         self._have_kf = True

@@ -44,20 +44,7 @@ from ..models.superpoint import select_keypoints, superpoint_dense
 PACK_ROWS = 4
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_keypoints",
-        "keypoint_threshold",
-        "remove_borders",
-        "nms_radius",
-        "true_width",
-        "true_height",
-        "min_disparity",
-        "match_threshold",
-    ),
-)
-def fused_stereo_step_multi(
+def _frontend_core(
     sp_params,
     lg_params,
     images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, L1, R1, ...], padded
@@ -73,15 +60,11 @@ def fused_stereo_step_multi(
     min_disparity: float,
     match_threshold: float,
 ):
-    """Process S consecutive stereo frames in ONE program.
+    """Shared trace: extraction + stereo/track matching + stereo gates.
 
-    Returns (packed (S*PACK_ROWS, K) int16, desc (S, K, D), kpts (S, K, 2),
-    valid (S, K)): the packed block is the single host readback for all S
-    frames (frame s owns rows [s*PACK_ROWS, (s+1)*PACK_ROWS)); the per-frame
-    left features stay on device and become the next keyframe's inputs when
-    the gate fires. Batching frames amortizes the fixed host-link round trip
-    — every frame's track-match refers to the same keyframe state (the
-    estimator resolves lagged references).
+    Returns (kl (S,K,2), dl (S,K,D), vl (S,K), disparity (S,K),
+    stereo_ok (S,K), track_m (S,K)) — everything both the packing step and
+    the on-device pose solve consume.
     """
     S = images_u8.shape[0] // 2
     images = images_u8.astype(jnp.float32) / 255.0
@@ -138,7 +121,11 @@ def fused_stereo_step_multi(
     stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
 
     del track_s  # match confidence is not consumed downstream
-    K = kl.shape[1]
+    return kl, dl, vl, disparity, stereo_ok, track_m
+
+
+def _pack(kl, vl, disparity, stereo_ok, track_m):
+    S, K = kl.shape[0], kl.shape[1]
     packed = jnp.stack(
         [
             jnp.where(vl, kl[..., 0], -1.0),
@@ -150,7 +137,252 @@ def fused_stereo_step_multi(
     ).astype(jnp.int16)
     # Emit rank-2 (S*PACK_ROWS, K): rank-3 D2H is pathological on tunneled
     # hosts and an out-of-program reshape would cost an extra host-link op.
-    return packed.reshape(S * PACK_ROWS, K), dl, kl, vl
+    return packed.reshape(S * PACK_ROWS, K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "min_disparity",
+        "match_threshold",
+    ),
+)
+def fused_stereo_step_multi(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, L1, R1, ...], padded
+    kf_kpts: jnp.ndarray,  # (K, 2) f32 pixel coords of the last keyframe
+    kf_desc: jnp.ndarray,  # (K, D)
+    kf_valid: jnp.ndarray,  # (K,) bool
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    min_disparity: float,
+    match_threshold: float,
+):
+    """Process S consecutive stereo frames in ONE program.
+
+    Returns (packed (S*PACK_ROWS, K) int16, desc (S, K, D), kpts (S, K, 2),
+    valid (S, K)): the packed block is the single host readback for all S
+    frames (frame s owns rows [s*PACK_ROWS, (s+1)*PACK_ROWS)); the per-frame
+    left features stay on device and become the next keyframe's inputs when
+    the gate fires. Batching frames amortizes the fixed host-link round trip
+    — every frame's track-match refers to the same keyframe state (the
+    estimator resolves lagged references).
+    """
+    kl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
+        sp_params,
+        lg_params,
+        images_u8,
+        kf_kpts,
+        kf_desc,
+        kf_valid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        nms_radius,
+        true_width,
+        true_height,
+        min_disparity,
+        match_threshold,
+    )
+    return _pack(kl, vl, disparity, stereo_ok, track_m), dl, kl, vl
+
+
+TRACK_COLS = 13  # R row-major (9) + t (3) + n_matches (1)
+
+
+def _reorthonormalize(R):
+    """Project a near-rotation back onto SO(3) (Gram-Schmidt). The tracking
+    carry multiplies thousands of f32 exponentials across a run; without
+    this the prior drifts off the manifold linearly in frame count."""
+    c0 = R[:, 0]
+    c0 = c0 / jnp.sqrt(c0 @ c0 + 1e-20)
+    c1 = R[:, 1] - (c0 @ R[:, 1]) * c0
+    c1 = c1 / jnp.sqrt(c1 @ c1 + 1e-20)
+    c2 = jnp.cross(c0, c1)
+    return jnp.stack([c0, c1, c2], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "min_disparity",
+        "match_threshold",
+        "calib",
+        "min_matches",
+        "track_sigma_px",
+        "disp_sigma0",
+        "disp_cond",
+        "track_iters",
+    ),
+)
+def fused_stereo_track_step_multi(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, ...], padded
+    kf_kpts: jnp.ndarray,  # (K, 2) f32 pixel coords of the last keyframe
+    kf_desc: jnp.ndarray,  # (K, D)
+    kf_valid: jnp.ndarray,  # (K,) bool
+    kf_xw: jnp.ndarray,  # (K, 3) f32 WORLD points of the KF's stereo features
+    kf_depth_ok: jnp.ndarray,  # (K,) bool — KF feature has stereo depth
+    carry_R: jnp.ndarray,  # (3,3) previous frame pose Twc (device-resident)
+    carry_t: jnp.ndarray,  # (3,)
+    rel_R: jnp.ndarray,  # (3,3) constant-velocity model (prev.between(cur))
+    rel_t: jnp.ndarray,  # (3,)
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    min_disparity: float,
+    match_threshold: float,
+    calib: tuple,  # (fx, fy, cx, cy, baseline) static floats
+    min_matches: int,
+    track_sigma_px: float,
+    disp_sigma0: float,
+    disp_cond: float,
+    track_iters: int = 20,
+):
+    """The fully-fused per-frame program: extraction + matching + POSE.
+
+    Everything fused_stereo_step_multi does, plus a `lax.scan` over the S
+    frames running the pose-only LM (ops.pose_solver) on the KF->frame track
+    matches — the on-device re-expression of the reference hot loop
+    SuperPoint -> LightGlue -> FrameTracker::track (``src/VoEstimator.cc:
+    238-258``), so on a locally-attached chip tracking never leaves the
+    chip. Correspondences: track_m[i] = frame keypoint matched to KF feature
+    i; Xw = kf_xw[i] (backprojected through the KF's smoothed pose at upload
+    time, so each solve re-grounds the chain and pose error does not
+    accumulate); meas = the frame keypoint's (uL, uR, v) from the on-device
+    stereo gate; noise = the disparity-aware diagonal of
+    core.factors.stereo_diag_sigmas. Frames with fewer than `min_matches`
+    usable correspondences coast on the constant-velocity carry exactly like
+    the host estimator.
+
+    Returns (packed, dl, kl, vl, track_out (S, TRACK_COLS) f32,
+    (carry_R, carry_t, rel_R, rel_t)) — the carry stays on device and feeds
+    the next dispatch; only `packed` and `track_out` are fetched.
+    """
+    kl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
+        sp_params,
+        lg_params,
+        images_u8,
+        kf_kpts,
+        kf_desc,
+        kf_valid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        nms_radius,
+        true_width,
+        true_height,
+        min_disparity,
+        match_threshold,
+    )
+    track_out, carry = track_scan(
+        kl,
+        disparity,
+        stereo_ok,
+        track_m,
+        kf_xw,
+        kf_depth_ok,
+        (carry_R, carry_t, rel_R, rel_t),
+        calib=calib,
+        min_matches=min_matches,
+        track_sigma_px=track_sigma_px,
+        disp_sigma0=disp_sigma0,
+        disp_cond=disp_cond,
+        track_iters=track_iters,
+    )
+    packed = _pack(kl, vl, disparity, stereo_ok, track_m)
+    return packed, dl, kl, vl, track_out, carry
+
+
+def track_scan(
+    kl,  # (S, K, 2) left keypoints (pixels)
+    disparity,  # (S, K)
+    stereo_ok,  # (S, K) bool
+    track_m,  # (S, K) int32: frame keypoint matched to KF feature i, or -1
+    kf_xw,  # (K, 3) world points of the KF features
+    kf_depth_ok,  # (K,) bool
+    carry,  # (R (3,3), t (3,), rel_R (3,3), rel_t (3,))
+    *,
+    calib: tuple,
+    min_matches: int,
+    track_sigma_px: float,
+    disp_sigma0: float,
+    disp_cond: float,
+    track_iters: int = 20,
+):
+    """The on-device tracking chain: a lax.scan over S frames running the
+    pose-only LM per frame with coast-on-loss, exactly the host estimator's
+    solve semantics (core.vo_estimator._track / core.frame_tracker).
+    Separated from the fused step so tests can drive it with synthetic
+    geometry. Returns (track_out (S, TRACK_COLS) f32, new carry)."""
+    from .pose_solver import pose_only_lm_impl
+
+    inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
+
+    def step(c, per_frame):
+        R_prev, t_prev, Rr, tr = c
+        kl_s, disp_s, ok_s, tm_s = per_frame
+        fi = jnp.maximum(tm_s, 0)
+        uL = jnp.take(kl_s[:, 0], fi)
+        v = jnp.take(kl_s[:, 1], fi)
+        d = jnp.take(disp_s, fi)
+        ok = (tm_s >= 0) & jnp.take(ok_s, fi) & kf_depth_ok
+        meas = jnp.stack([uL, uL - d, v], axis=1)
+        dc = jnp.maximum(d, 1e-3)
+        ratio = disp_cond / dc
+        inv_sig_uR = 1.0 / (disp_sigma0 * jnp.sqrt(1.0 + ratio * ratio))
+        inv_sig = jnp.stack(
+            [jnp.full_like(dc, inv_sig_uLv), inv_sig_uR, jnp.full_like(dc, inv_sig_uLv)],
+            axis=1,
+        )
+        n = jnp.sum(ok)
+        R_s, t_s = pose_only_lm_impl(
+            R_prev,
+            t_prev,
+            kf_xw,
+            meas,
+            inv_sig,
+            ok.astype(jnp.float32),
+            calib,
+            track_iters,
+        )
+        use = n >= min_matches
+        R_coast = R_prev @ Rr
+        t_coast = R_prev @ tr + t_prev
+        R_new = _reorthonormalize(jnp.where(use, R_s, R_coast))
+        t_new = jnp.where(use, t_s, t_coast)
+        Rr_new = jnp.where(use, R_prev.T @ R_new, Rr)
+        tr_new = jnp.where(use, R_prev.T @ (t_new - t_prev), tr)
+        row = jnp.concatenate(
+            [R_new.reshape(9), t_new, n.astype(jnp.float32)[None]]
+        )
+        return (R_new, t_new, Rr_new, tr_new), row
+
+    new_carry, track_out = jax.lax.scan(
+        step, carry, (kl, disparity, stereo_ok, track_m)
+    )
+    return track_out, new_carry
 
 
 def fused_stereo_step(

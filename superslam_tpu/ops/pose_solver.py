@@ -153,8 +153,7 @@ def _error(R, t, Xw, meas, inv_sig, valid, calib):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def pose_only_lm(
+def pose_only_lm_impl(
     R0: jnp.ndarray,  # (3,3) initial rotation (Twc)
     t0: jnp.ndarray,  # (3,)
     Xw: jnp.ndarray,  # (N,3) world points, padded
@@ -166,7 +165,8 @@ def pose_only_lm(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (R, t). LM with multiplicative damping adaptation — each
     iteration solves once at the current lambda and accepts/rejects, so the
-    loop is a fixed-shape `lax.while_loop`."""
+    loop is a fixed-shape `lax.while_loop`. Unjitted so it can be traced
+    inline inside larger programs (the fused per-frame tracking step)."""
     valid = valid.astype(jnp.float32)
 
     def cond(state):
@@ -196,3 +196,6 @@ def pose_only_lm(
         cond, body, (0, R0, t0, jnp.float32(1e-5), err0, jnp.array(False))
     )
     return R, t
+
+
+pose_only_lm = jax.jit(pose_only_lm_impl, static_argnames=("max_iters",))

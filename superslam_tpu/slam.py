@@ -215,12 +215,17 @@ class SuperSLAM:
         if not self._rgbd and depth > 1:
             from .frontend.pipelined import PipelinedStereoTracker
 
+            # SUPERSLAM_DEVICE_TRACKER=1: the fused program also solves the
+            # pose on device (tracking never leaves the chip); the estimator
+            # adopts the solved pose and keeps every gate on host.
             self._tracker = PipelinedStereoTracker(
                 self.pipeline,
                 self.estimator,
                 depth=depth,
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
+                device_tracking=os.environ.get("SUPERSLAM_DEVICE_TRACKER", "0")
+                not in ("", "0"),
             )
         elif self._rgbd and depth > 1:
             from .frontend.pipelined_rgbd import PipelinedRgbdTracker

@@ -116,6 +116,51 @@ def test_pipelined_trajectory_equals_synchronous(setup):
         assert np.linalg.norm(a.t - b.t) < 0.2
 
 
+def test_device_tracking_trajectory_matches_host(setup):
+    """SUPERSLAM_DEVICE_TRACKER mode: the pose-only LM runs INSIDE the fused
+    device program (fused_stereo_track_step_multi) and the estimator adopts
+    the solved pose — the host FrameTracker must never run, and the
+    trajectory must match the host-solved pipelined run closely."""
+    calib, fused, unfused, matcher = setup
+    seq = frames(8, seed=11)
+
+    # Host-solved pipelined reference.
+    fused_a = FusedStereoPipeline(
+        fused.sp_params, fused.lg_params, calib, width=W, height=H,
+        max_keypoints=K, keypoint_threshold=5e-4,
+    )
+    est_a = VoEstimator(matcher, calib, window_size=4)
+    tracker_a = PipelinedStereoTracker(fused_a, est_a, depth=2)
+    for i, (l, r) in enumerate(seq):
+        tracker_a.track(l, r, 0.1 * i)
+    tracker_a.flush()
+
+    # Device-solved run.
+    fused_b = FusedStereoPipeline(
+        fused.sp_params, fused.lg_params, calib, width=W, height=H,
+        max_keypoints=K, keypoint_threshold=5e-4,
+    )
+    est_b = VoEstimator(matcher, calib, window_size=4)
+    host_solves = []
+    orig = est_b.tracker.track_arrays
+    est_b.tracker.track_arrays = lambda *a, **k: host_solves.append(1) or orig(*a, **k)
+    tracker_b = PipelinedStereoTracker(fused_b, est_b, depth=2, device_tracking=True)
+    for i, (l, r) in enumerate(seq):
+        tracker_b.track(l, r, 0.1 * i)
+    tracker_b.flush()
+
+    assert not host_solves  # every solve stayed on the chip
+    ta = est_a.corrected_trajectory()
+    tb = est_b.corrected_trajectory()
+    assert len(ta) == len(tb) == len(seq)
+    # Device LM (f32, device prior chain) vs host LM (f64): same optimum to
+    # solver tolerance; keyframe decisions must agree for the deltas to stay
+    # this tight.
+    for a, b in zip(ta, tb):
+        assert np.linalg.norm(a.t - b.t) < 0.05
+        assert np.linalg.norm(a.R - b.R) < 0.05
+
+
 def test_batched_pipelined_trajectory_equals_synchronous(setup):
     """Frame batching (S frames per fused dispatch, one packed readback) may
     lag keyframe adoption by up to S frames, but the corrected trajectory

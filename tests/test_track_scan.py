@@ -1,0 +1,137 @@
+"""On-device tracking chain (ops.frontend_step.track_scan) vs exact
+geometry and the host FrameTracker: the scan must recover known poses from
+synthetic projections, chain priors across frames, coast on loss, and count
+correspondences exactly."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from superslam_tpu.core.frame_tracker import FrameTracker
+from superslam_tpu.geometry import Pose3, StereoCalib
+from superslam_tpu.ops.frontend_step import TRACK_COLS, track_scan
+
+CAL = StereoCalib(fx=80.0, fy=80.0, cx=80.0, cy=60.0, baseline=0.1)
+CALT = (80.0, 80.0, 80.0, 60.0, 0.1)
+K = 64
+
+
+def project(pose: Pose3, Xw: np.ndarray) -> np.ndarray:
+    p = pose.transform_to(Xw)
+    z = p[:, 2]
+    uL = CAL.fx * p[:, 0] / z + CAL.cx
+    uR = CAL.fx * (p[:, 0] - CAL.baseline) / z + CAL.cx
+    v = CAL.fy * p[:, 1] / z + CAL.cy
+    return np.stack([uL, uR, v], axis=1)
+
+
+def scan_args(frames_meas, track_ms):
+    """Build (kl, disparity, stereo_ok, track_m) stacks from per-frame
+    (K,3) stereo measurements in FRAME keypoint order."""
+    kl = np.stack([np.stack([m[:, 0], m[:, 2]], 1) for m in frames_meas]).astype(
+        np.float32
+    )
+    disp = np.stack([m[:, 0] - m[:, 1] for m in frames_meas]).astype(np.float32)
+    ok = np.ones(disp.shape, bool)
+    tm = np.stack(track_ms).astype(np.int32)
+    return jnp.asarray(kl), jnp.asarray(disp), jnp.asarray(ok), jnp.asarray(tm)
+
+
+def run_scan(kl, disp, ok, tm, xw, depth_ok, carry, min_matches=10):
+    return track_scan(
+        kl, disp, ok, tm, jnp.asarray(xw, jnp.float32), jnp.asarray(depth_ok),
+        carry,
+        calib=CALT, min_matches=min_matches, track_sigma_px=10.0,
+        disp_sigma0=8.0, disp_cond=CAL.bf / 40.0,
+    )
+
+
+def identity_carry():
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros((3,), jnp.float32)
+    return (eye, zero, eye, zero)
+
+
+def rows_to_pose(row):
+    return Pose3(
+        R=np.asarray(row[:9], np.float64).reshape(3, 3),
+        t=np.asarray(row[9:12], np.float64),
+    )
+
+
+def test_track_scan_recovers_chained_poses():
+    rng = np.random.default_rng(3)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    true = [
+        Pose3.expmap(np.array([0.0, 0.01, 0.0, 0.15, 0.0, 0.02])),
+        Pose3.expmap(np.array([0.01, 0.02, 0.0, 0.30, -0.05, 0.04])),
+        Pose3.expmap(np.array([0.02, 0.03, -0.01, 0.45, -0.1, 0.06])),
+    ]
+    # Frame keypoint order is a per-frame shuffle of the landmark order;
+    # track_m[i] = where landmark i landed in the frame's keypoint list.
+    metas, tms = [], []
+    for s, pose in enumerate(true):
+        perm = rng.permutation(K)
+        inv = np.empty(K, np.int64)
+        inv[perm] = np.arange(K)
+        metas.append(project(pose, Xw)[perm])
+        tms.append(inv)
+    kl, disp, ok, tm = scan_args(metas, tms)
+    out, carry = run_scan(kl, disp, ok, tm, Xw, np.ones(K, bool), identity_carry())
+    out = np.asarray(out)
+    assert out.shape == (3, TRACK_COLS)
+    for s, pose in enumerate(true):
+        got = rows_to_pose(out[s])
+        assert int(out[s, 12]) == K
+        err = pose.between(got).logmap()
+        assert np.linalg.norm(err) < 1e-3, (s, err)
+    # Carry pose == last frame's pose.
+    np.testing.assert_allclose(np.asarray(carry[1]), true[-1].t, atol=1e-3)
+
+
+def test_track_scan_matches_host_tracker_with_noise():
+    """With pixel noise the device solve must agree with FrameTracker (the
+    f64 oracle) run with the same prior chain, not just with ground truth."""
+    rng = np.random.default_rng(4)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    true = Pose3.expmap(np.array([0.0, 0.02, 0.0, 0.2, -0.05, 0.03]))
+    meas = project(true, Xw) + rng.normal(0, 0.5, (K, 3))
+    tm = np.arange(K)  # identity correspondence
+    kl, disp, ok, tmj = scan_args([meas], [tm])
+    out, _ = run_scan(kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry())
+    got = rows_to_pose(np.asarray(out)[0])
+
+    import os
+
+    os.environ["SUPERSLAM_NATIVE"] = "0"  # numpy oracle
+    try:
+        ref = FrameTracker(CAL).track_arrays(Pose3(), Xw, meas)
+    finally:
+        del os.environ["SUPERSLAM_NATIVE"]
+    err = ref.between(got).logmap()
+    assert np.linalg.norm(err) < 2e-3, err
+
+
+def test_track_scan_coasts_below_min_matches():
+    rng = np.random.default_rng(5)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    p1 = Pose3.expmap(np.array([0.0, 0.0, 0.0, 0.2, 0.0, 0.0]))
+    m1 = project(p1, Xw)
+    # Frame 2: tracking lost (no matches) -> constant velocity: pose = p1*rel
+    # where rel = identity.between(p1) = p1.
+    m2 = np.zeros((K, 3))
+    m2[:, 0] = 1.0  # disparity 1, irrelevant (masked)
+    kl, disp, ok, tm = scan_args(
+        [m1, m2], [np.arange(K), np.full(K, -1, np.int64)]
+    )
+    out, _ = run_scan(kl, disp, ok, tm, Xw, np.ones(K, bool), identity_carry())
+    out = np.asarray(out)
+    assert int(out[1, 12]) == 0
+    expected = p1 * p1
+    got = rows_to_pose(out[1])
+    assert np.linalg.norm(expected.between(got).logmap()) < 1e-3
+    # Depth-invalid KF features must not count as correspondences.
+    depth_ok = np.ones(K, bool)
+    depth_ok[: K // 2] = False
+    out2, _ = run_scan(kl, disp, ok, tm, Xw, depth_ok, identity_carry())
+    assert int(np.asarray(out2)[0, 12]) == K - K // 2
