@@ -104,8 +104,25 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def _pallas_attn_wanted() -> bool:
+    """Whether attention routes through the fused VMEM kernel
+    (ops/pallas/attention.py). Default: on for TPU backends, off on CPU
+    (where the XLA path is the oracle and interpret-mode Pallas is orders
+    of magnitude slower). SUPERSLAM_PALLAS_ATTN=0/1 overrides."""
+    import os
+
+    v = os.environ.get("SUPERSLAM_PALLAS_ATTN")
+    if v is not None:
+        return v not in ("0", "", "false")
+    return jax.default_backend() != "cpu"
+
+
 def _attention(q, k, v, key_mask):
     """Masked SDPA. q,k,v: (B, H, N, D); key_mask: (B, N) bool."""
+    if _pallas_attn_wanted():
+        from ..ops.pallas.attention import masked_attention
+
+        return masked_attention(q, k, v, key_mask)
     scale = 1.0 / np.sqrt(HEAD_DIM)
     logits = jnp.einsum(
         "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
@@ -136,6 +153,15 @@ def _cross_block_paired(x, mask, params, prefix, dtype):
     qk = _split_heads(_linear(x, params, f"{prefix}.to_qk", dtype))  # (2P,H,K,Dh)
     v = _split_heads(_linear(x, params, f"{prefix}.to_v", dtype))
     p2, h, k, dh = qk.shape
+    if _pallas_attn_wanted():
+        # One fused-SDPA call over all 2P rows: row 2p attends row 2p+1 and
+        # vice versa, so keys/values/mask are the pair-swapped views.
+        def swap(a):
+            return a.reshape(p2 // 2, 2, *a.shape[1:])[:, ::-1].reshape(a.shape)
+
+        out = _attention(qk, swap(qk), swap(v), swap(mask))
+        msg = _linear(_merge_heads(out), params, f"{prefix}.to_out", dtype)
+        return _ffn(x, msg, params, f"{prefix}.ffn", dtype)
     qk = qk.reshape(p2 // 2, 2, h, k, dh)
     v = v.reshape(p2 // 2, 2, h, k, dh)
     m = mask.reshape(p2 // 2, 2, k)
