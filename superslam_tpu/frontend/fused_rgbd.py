@@ -62,6 +62,10 @@ class FusedRgbdPipeline:
         self._kf_kpts = jnp.zeros((self.K, 2), jnp.float32)
         self._kf_desc = jnp.zeros((self.K, 256), jnp.float32)
         self._kf_valid = jnp.zeros((self.K,), bool)
+        # Keyframe world points for on-device (mono) tracking — see
+        # ops.rgbd_step.fused_rgbd_track_step_multi.
+        self._kf_xw = jnp.zeros((self.K, 3), jnp.float32)
+        self._kf_depth_ok = jnp.zeros((self.K,), bool)
 
     def _prepare_np(self, gray: np.ndarray) -> np.ndarray:
         a = np.asarray(gray)
@@ -164,3 +168,16 @@ class FusedRgbdPipeline:
             self._kf_valid = feats.valid
         else:
             self._kf_valid = jnp.asarray(np.arange(self.K) < feats.n)
+
+    def set_keyframe_world(self, frame: StereoFrame) -> None:
+        """Upload the new keyframe's world points (sensor-depth backprojected
+        through the smoothed Twc) for on-device mono tracking. Rows align
+        with the device keypoint prefix ordering."""
+        xw = np.zeros((self.K, 3), np.float32)
+        depth_ok = np.zeros((self.K,), bool)
+        idx = np.flatnonzero(frame.has_depth[: self.K])
+        if idx.size:
+            xw[idx] = frame.backproject_all(self.calib, idx).astype(np.float32)
+            depth_ok[idx] = True
+        self._kf_xw = jnp.asarray(xw)
+        self._kf_depth_ok = jnp.asarray(depth_ok)

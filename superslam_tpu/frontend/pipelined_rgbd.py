@@ -20,7 +20,7 @@ from ..core.vo_estimator import VoEstimator
 from ..geometry.se3 import Pose3
 from ..utils.profiler import profile_scope
 from .fused_rgbd import FusedRgbdPipeline
-from .pipelined import _AsyncPacked
+from .pipelined import _AsyncPacked, _AsyncPose
 
 
 @dataclass
@@ -34,6 +34,7 @@ class _InFlight:
     kf_ref_id: int | None
     depth_img: np.ndarray
     gray: np.ndarray | None
+    pose: "_AsyncPose | None" = None  # device-tracking pose block
 
 
 class PipelinedRgbdTracker:
@@ -44,6 +45,7 @@ class PipelinedRgbdTracker:
         depth: int = 3,
         batch: int = 1,
         keep_gray: bool = False,
+        device_tracking: bool = False,
     ):
         self.pipeline = pipeline
         self.estimator = estimator
@@ -58,6 +60,29 @@ class PipelinedRgbdTracker:
         self._last_pose = Pose3()
         self._last_rel = Pose3()
         self._have_kf = False
+        # On-device pose solve (mono factors; SUPERSLAM_DEVICE_TRACKER).
+        # Requires undistorted optics: the device sees raw pixels, the host
+        # solve undistorted ones — callers must gate on dist_coeffs=None.
+        self.device_tracking = bool(device_tracking)
+        if self.device_tracking and pipeline.dist_coeffs is not None:
+            raise ValueError(
+                "RGB-D device tracking requires dist_coeffs-free calibration "
+                "(the device solves on raw pixel coordinates)"
+            )
+        self._carry = None
+        if self.device_tracking:
+            from ..utils.env import env_int
+
+            c = pipeline.calib
+            self._trk_calib = (
+                float(c.fx),
+                float(c.fy),
+                float(c.cx),
+                float(c.cy),
+                float(c.baseline),
+            )
+            self._trk_min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
+            self._trk_sigma_px = 10.0  # FrameTracker.cc:24
 
     # -- pipeline ------------------------------------------------------------
     def submit(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float) -> None:
@@ -97,27 +122,63 @@ class PipelinedRgbdTracker:
             if self.batch == 1
             else jnp.concatenate([d for d, _, _, _ in staged], axis=0)
         )
-        packed, desc, kpts, valid = fused_rgbd_step_multi(
-            pl.sp_params,
-            pl.lg_params,
-            images,
-            pl._kf_kpts,
-            pl._kf_desc,
-            pl._kf_valid,
-            max_keypoints=pl.K,
-            keypoint_threshold=pl.keypoint_threshold,
-            remove_borders=pl.remove_borders,
-            nms_radius=pl.nms_radius,
-            true_width=pl.width,
-            true_height=pl.height,
-            match_threshold=pl.match_threshold,
-        )
+        pose_fut = None
+        if self.device_tracking:
+            from ..ops.rgbd_step import fused_rgbd_track_step_multi
+
+            if self._carry is None:
+                eye = jnp.eye(3, dtype=jnp.float32)
+                zero = jnp.zeros((3,), jnp.float32)
+                self._carry = (eye, zero, eye, zero)
+            packed, desc, kpts, valid, track_out, self._carry = (
+                fused_rgbd_track_step_multi(
+                    pl.sp_params,
+                    pl.lg_params,
+                    images,
+                    pl._kf_kpts,
+                    pl._kf_desc,
+                    pl._kf_valid,
+                    pl._kf_xw,
+                    pl._kf_depth_ok,
+                    *self._carry,
+                    max_keypoints=pl.K,
+                    keypoint_threshold=pl.keypoint_threshold,
+                    remove_borders=pl.remove_borders,
+                    nms_radius=pl.nms_radius,
+                    true_width=pl.width,
+                    true_height=pl.height,
+                    match_threshold=pl.match_threshold,
+                    calib=self._trk_calib,
+                    min_matches=self._trk_min_matches,
+                    track_sigma_px=self._trk_sigma_px,
+                )
+            )
+            pose_fut = _AsyncPose(track_out)
+        else:
+            packed, desc, kpts, valid = fused_rgbd_step_multi(
+                pl.sp_params,
+                pl.lg_params,
+                images,
+                pl._kf_kpts,
+                pl._kf_desc,
+                pl._kf_valid,
+                max_keypoints=pl.K,
+                keypoint_threshold=pl.keypoint_threshold,
+                remove_borders=pl.remove_borders,
+                nms_radius=pl.nms_radius,
+                true_width=pl.width,
+                true_height=pl.height,
+                match_threshold=pl.match_threshold,
+            )
         S = len(staged)
         fut = _AsyncPacked(packed, S, RGBD_PACK_ROWS)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
         for s, (_, depth_img, ts, gray) in enumerate(staged[:n_real]):
             self._pending.append(
-                _InFlight(ts, fut, s, desc, kpts, valid, kf_ref, depth_img, gray)
+                _InFlight(
+                    ts, fut, s, desc, kpts, valid, kf_ref, depth_img, gray,
+                    pose=pose_fut,
+                )
             )
 
     def drain_one(self) -> Pose3 | None:
@@ -126,15 +187,25 @@ class PipelinedRgbdTracker:
         item = self._pending.popleft()
         with profile_scope("pl_fetch_wait"):
             frame, kf_matches = self._decode(item)
+        device_pose = None
+        if item.pose is not None and item.kf_ref_id is not None:
+            row = item.pose.result()[item.slot]
+            device_pose = Pose3(
+                R=row[:9].astype(np.float64).reshape(3, 3),
+                t=row[9:12].astype(np.float64),
+            )
         prev = self._last_pose
         pose = self.estimator.track(
             frame,
             item.gray,
             kf_matches=kf_matches if item.kf_ref_id is not None else None,
             kf_ref_id=item.kf_ref_id,
+            device_pose=device_pose,
         )
         if self.estimator._last_keyframe is frame:
             self.pipeline.set_keyframe(frame.descriptors_left)
+            if self.device_tracking:
+                self.pipeline.set_keyframe_world(frame)
         self._last_rel = prev.between(pose)
         self._last_pose = pose
         self._have_kf = True

@@ -330,12 +330,19 @@ def track_scan(
     disp_sigma0: float,
     disp_cond: float,
     track_iters: int = 20,
+    mono: bool = False,
 ):
     """The on-device tracking chain: a lax.scan over S frames running the
     pose-only LM per frame with coast-on-loss, exactly the host estimator's
     solve semantics (core.vo_estimator._track / core.frame_tracker).
     Separated from the fused step so tests can drive it with synthetic
-    geometry. Returns (track_out (S, TRACK_COLS) f32, new carry)."""
+    geometry. Returns (track_out (S, TRACK_COLS) f32, new carry).
+
+    mono=True zeroes the uR residual weight: the RGB-D device program has
+    no frame-side depth (the sensor depth image never visits the device,
+    mirroring the reference's RgbdFrontEnd split), so its solve uses (uL, v)
+    reprojection only — the KF world points carry the metric scale. Pass
+    disparity=0 and stereo_ok=valid in that mode."""
     from .pose_solver import pose_only_lm_impl
 
     inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
@@ -351,7 +358,10 @@ def track_scan(
         meas = jnp.stack([uL, uL - d, v], axis=1)
         dc = jnp.maximum(d, 1e-3)
         ratio = disp_cond / dc
-        inv_sig_uR = 1.0 / (disp_sigma0 * jnp.sqrt(1.0 + ratio * ratio))
+        if mono:
+            inv_sig_uR = jnp.zeros_like(dc)
+        else:
+            inv_sig_uR = 1.0 / (disp_sigma0 * jnp.sqrt(1.0 + ratio * ratio))
         inv_sig = jnp.stack(
             [jnp.full_like(dc, inv_sig_uLv), inv_sig_uR, jnp.full_like(dc, inv_sig_uLv)],
             axis=1,

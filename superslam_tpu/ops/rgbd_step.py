@@ -154,3 +154,95 @@ def fused_rgbd_step_multi(
         axis=1,
     ).astype(jnp.int16)  # (S, 3, K)
     return packed.reshape(S * RGBD_PACK_ROWS, -1), desc, kpts, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "match_threshold",
+        "calib",
+        "min_matches",
+        "track_sigma_px",
+        "track_iters",
+    ),
+)
+def fused_rgbd_track_step_multi(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (S, H, W) uint8, padded
+    kf_kpts: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    kf_xw: jnp.ndarray,  # (K, 3) world points of the KF features
+    kf_depth_ok: jnp.ndarray,  # (K,) bool
+    carry_R: jnp.ndarray,
+    carry_t: jnp.ndarray,
+    rel_R: jnp.ndarray,
+    rel_t: jnp.ndarray,
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    match_threshold: float,
+    calib: tuple,
+    min_matches: int,
+    track_sigma_px: float,
+    track_iters: int = 20,
+):
+    """fused_rgbd_step_multi + the on-device pose chain (MONO factors).
+
+    The sensor depth image never visits the device (the reference's
+    RgbdFrontEnd split, src/RgbdFrontEnd.cc:23-58), so the per-frame solve
+    uses (uL, v) reprojection residuals only — track_scan with mono=True;
+    the KF world points (backprojected from sensor depth at keyframe
+    insertion, uploaded once per keyframe) carry the metric scale. Raw vs
+    undistorted pixels must agree for the solve to be valid: callers gate
+    this path on dist_coeffs being absent.
+
+    Returns (packed, desc, kpts, valid, track_out (S, TRACK_COLS) f32,
+    (carry_R, carry_t, rel_R, rel_t)).
+    """
+    from .frontend_step import track_scan
+
+    packed, desc, kpts, valid = fused_rgbd_step_multi.__wrapped__(
+        sp_params,
+        lg_params,
+        images_u8,
+        kf_kpts,
+        kf_desc,
+        kf_valid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        nms_radius,
+        true_width,
+        true_height,
+        match_threshold,
+    )
+    S = images_u8.shape[0]
+    track_m = packed.reshape(S, RGBD_PACK_ROWS, -1)[:, 2].astype(jnp.int32)
+    track_out, carry = track_scan(
+        kpts,
+        jnp.zeros(valid.shape, jnp.float32),
+        valid,
+        track_m,
+        kf_xw,
+        kf_depth_ok,
+        (carry_R, carry_t, rel_R, rel_t),
+        calib=calib,
+        min_matches=min_matches,
+        track_sigma_px=track_sigma_px,
+        disp_sigma0=1.0,  # unused in mono mode
+        disp_cond=1.0,
+        track_iters=track_iters,
+        mono=True,
+    )
+    return packed, desc, kpts, valid, track_out, carry

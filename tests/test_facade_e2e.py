@@ -193,3 +193,55 @@ def test_rgbd_pipelined_matches_synchronous(config_path, tmp_path, monkeypatch):
     assert len(sync) == len(piped) == len(seq)
     for a, b in zip(sync, piped):
         assert np.linalg.norm(a.t - b.t) < 0.2
+
+
+def test_rgbd_device_tracking_matches_host(config_path, tmp_path, monkeypatch):
+    """SUPERSLAM_DEVICE_TRACKER on the RGB-D path: the mono-factor on-device
+    solve replaces the host FrameTracker (zero host solves) and the
+    trajectory stays close to the host-solved pipelined run. Mono (uL, v)
+    vs stereo (uL, uR, v) weighting differ, so the tolerance is looser than
+    the stereo device-tracking test's."""
+    cfg = CONFIG + "\nDepthMapFactor: 5000.0\n"
+    p = tmp_path / "rgbd.yaml"
+    p.write_text(cfg)
+    rng = np.random.default_rng(4)
+    base = rng.uniform(0, 255, (152, 192)).astype(np.uint8)
+    dbase = (rng.uniform(0.5, 3.0, (152, 192)) * 5000).astype(np.uint16)
+    seq = [
+        (base[i : i + 120, 2 * i : 2 * i + 160],
+         dbase[i : i + 120, 2 * i : 2 * i + 160])
+        for i in range(10)
+    ]
+
+    def run(device_tracker):
+        monkeypatch.setenv("SUPERSLAM_PIPELINE", "2")
+        monkeypatch.setenv("SUPERSLAM_PIPELINE_BATCH", "1")
+        monkeypatch.setenv("SUPERSLAM_DEVICE_TRACKER", device_tracker)
+        # Random-weight matches are sparse; drop the coast floor so the
+        # solve path actually runs in both modes.
+        monkeypatch.setenv("SUPERSLAM_TRACK_MIN_MATCHES", "2")
+        slam = SuperSLAM(str(p))
+        host_solves = []
+        orig = slam.estimator.tracker.track_arrays
+        slam.estimator.tracker.track_arrays = (
+            lambda *a, **k: host_solves.append(1) or orig(*a, **k)
+        )
+        for i, (g, d) in enumerate(seq):
+            slam.track_rgbd(g, d, 0.1 * i)
+        slam._tracker.flush()
+        slam.estimator.stop_loop_worker()
+        traj = slam.estimator.corrected_trajectory()
+        slam.shutdown()
+        return traj, host_solves
+
+    host_traj, host_solves = run("0")
+    assert host_solves  # the host path does solve on host
+    dev_traj, dev_solves = run("1")
+    # Pipeline warm-up frames (dispatched before the first keyframe's device
+    # state exists) legitimately fall back to a host re-match + solve; every
+    # frame after that must stay on the chip.
+    assert len(dev_solves) <= 2, dev_solves
+    assert len(dev_solves) < len(host_solves)
+    assert len(host_traj) == len(dev_traj) == len(seq)
+    for a, b in zip(host_traj, dev_traj):
+        assert np.linalg.norm(a.t - b.t) < 0.2

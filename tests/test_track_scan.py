@@ -112,6 +112,33 @@ def test_track_scan_matches_host_tracker_with_noise():
     assert np.linalg.norm(err) < 2e-3, err
 
 
+def test_track_scan_mono_ignores_uR():
+    """mono=True (the RGB-D device path): the uR residual row is weighted
+    zero, so corrupting the disparity channel must not move the solution,
+    and the (uL, v)-only solve still recovers the pose from KF world
+    points."""
+    rng = np.random.default_rng(6)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    true = Pose3.expmap(np.array([0.0, 0.02, 0.01, 0.25, -0.05, 0.03]))
+    meas = project(true, Xw)
+    kl, disp, ok, tm = scan_args([meas], [np.arange(K)])
+
+    def run_mono(disp_arr):
+        return track_scan(
+            kl, disp_arr, ok, tm, jnp.asarray(Xw, jnp.float32),
+            jnp.asarray(np.ones(K, bool)), identity_carry(),
+            calib=CALT, min_matches=10, track_sigma_px=10.0,
+            disp_sigma0=1.0, disp_cond=1.0, mono=True,
+        )
+
+    out1, _ = run_mono(disp)
+    out2, _ = run_mono(jnp.zeros_like(disp))  # disparity fully corrupted
+    got1 = rows_to_pose(np.asarray(out1)[0])
+    got2 = rows_to_pose(np.asarray(out2)[0])
+    assert np.linalg.norm(true.between(got1).logmap()) < 1e-3
+    assert np.linalg.norm(got1.between(got2).logmap()) < 1e-6
+
+
 def test_track_scan_coasts_below_min_matches():
     rng = np.random.default_rng(5)
     Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
