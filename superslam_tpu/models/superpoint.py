@@ -183,8 +183,13 @@ def superpoint_dense(
 
     if nms_radius > 0:
         k = 2 * nms_radius + 1
+        # Max is separable: two 1-D windows (2k taps) instead of one k x k
+        # window (k^2 taps) — identical result, ~4x less VPU work at k=9.
         pooled = jax.lax.reduce_window(
-            scores, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1), "SAME"
+            scores, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME"
+        )
+        pooled = jax.lax.reduce_window(
+            pooled, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME"
         )
         scores = jnp.where(scores == pooled, scores, 0.0)
 
