@@ -79,3 +79,126 @@ class DeviceCosineIndex:
         ids = np.asarray(ids)
         keep = np.isfinite(scores)
         return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
+
+
+class ShardedCosineIndex:
+    """DeviceCosineIndex scaled over a device mesh: database rows are
+    sharded across the mesh's ``data`` axis, the query GEMM and a local
+    top-k run per shard under ``shard_map``, and only the K per-shard
+    winners cross ICI (an ``all_gather`` of K rows per device) before the
+    replicated global top-k.
+
+    This is the serving-scale form of the loop retrieval (SURVEY §5.7):
+    capacity grows with the mesh while per-query HBM traffic per chip stays
+    constant, and the result is bit-identical to the single-device index.
+    """
+
+    def __init__(self, mesh, capacity: int = 8192, dim: int = 512):
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # Flatten the whole mesh onto the row axis: retrieval has no model
+        # dimension, so every device holds rows.
+        self.mesh = mesh
+        self._axes = tuple(mesh.axis_names)
+        n = math.prod(mesh.shape[a] for a in self._axes)
+        if capacity % n:
+            capacity += n - capacity % n
+        self.capacity = capacity
+        sh = NamedSharding(mesh, P(self._axes, None))
+        sh1 = NamedSharding(mesh, P(self._axes))
+        self._db = jax.device_put(jnp.zeros((capacity, dim), jnp.float32), sh)
+        self._ids = jax.device_put(jnp.zeros((capacity,), jnp.int32), sh1)
+        self._size = 0
+
+    def __len__(self) -> int:
+        return self._size
+
+    def add(self, keyframe_id: int, descriptor: np.ndarray) -> None:
+        if self._size >= self.capacity:
+            raise RuntimeError("ShardedCosineIndex capacity exceeded")
+        d = np.asarray(descriptor, np.float32).reshape(-1)
+        n = float(np.linalg.norm(d))
+        if n > 1e-12:
+            d = d / n
+        # Insertion order interleaves shards (row r lives on device
+        # r // (cap/n)); recency masking therefore uses the PHYSICAL row
+        # index mapped back to insertion order via _ids — simplest correct
+        # scheme: write round-robin so insertion index == logical recency.
+        r = self._phys_row(self._size)
+        self._db = self._db.at[r].set(jnp.asarray(d))
+        self._ids = self._ids.at[r].set(keyframe_id)
+        self._size += 1
+
+    def _phys_row(self, i: int) -> int:
+        """Insertion i -> physical row: round-robin over shards so every
+        shard holds an equal prefix of the insertion order."""
+        import math
+
+        n = math.prod(self.mesh.shape[a] for a in self._axes)
+        shard_rows = self.capacity // n
+        return (i % n) * shard_rows + i // n
+
+    def query(
+        self,
+        descriptor: np.ndarray,
+        exclude_recent: int,
+        top_k: int,
+        min_score: float,
+    ) -> list[tuple[int, float]]:
+        if self._size == 0 or self._size <= exclude_recent:
+            return []
+        k = min(top_k if top_k > 0 else self._size, self.capacity)
+        scores, ids = _sharded_query(
+            self.mesh,
+            self._axes,
+            self._db,
+            self._ids,
+            jnp.asarray(np.asarray(descriptor, np.float32).reshape(-1)),
+            jnp.int32(self._size),
+            jnp.int32(exclude_recent),
+            jnp.float32(min_score),
+            k,
+        )
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        keep = np.isfinite(scores)
+        return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axes", "top_k"))
+def _sharded_query(mesh, axes, db, ids, query, size, exclude_recent, min_score, top_k: int):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    q = query / jnp.maximum(jnp.linalg.norm(query), 1e-12)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    shard_rows = db.shape[0] // n_shards
+    k_local = min(top_k, shard_rows)
+
+    def local(db_s, ids_s, q_s):
+        # Flat shard index across all mesh axes.
+        shard = jax.lax.axis_index(axes)
+        scores = db_s @ q_s  # (shard_rows,)
+        # Physical row -> insertion index (round-robin layout in add()).
+        local_pos = jnp.arange(shard_rows)
+        ins = local_pos * n_shards + shard
+        limit = size - exclude_recent
+        valid = (ins < limit) & (scores >= min_score)
+        masked = jnp.where(valid, scores, -jnp.inf)
+        s, i = jax.lax.top_k(masked, k_local)  # per-shard winners
+        cand_s = jax.lax.all_gather(s, axes, tiled=True)  # (n*k_local,)
+        cand_id = jax.lax.all_gather(ids_s[i], axes, tiled=True)
+        gs, gi = jax.lax.top_k(cand_s, top_k)  # replicated global top-k
+        return gs, cand_id[gi]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes), P()),
+        out_specs=(P(), P()),
+        # The outputs ARE replicated (all_gather + identical top_k on every
+        # shard) but the static replication checker can't prove it.
+        check_vma=False,
+    )(db, ids, q)

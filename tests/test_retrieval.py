@@ -26,6 +26,45 @@ def test_device_index_matches_host():
         )
 
 
+def test_sharded_index_matches_host():
+    """Mesh-sharded retrieval (rows over all 8 virtual devices, per-shard
+    top-k + all_gather) must reproduce the host index exactly — ranking,
+    excludeRecent recency semantics (round-robin physical layout), topK,
+    minScore."""
+    from superslam_tpu.ops.retrieval import ShardedCosineIndex
+    from superslam_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    mesh = make_mesh(8)
+    host = CosineDescriptorIndex()
+    shard = ShardedCosineIndex(mesh, capacity=64, dim=32)
+    descs = rng.standard_normal((37, 32)).astype(np.float32)
+    for i, d in enumerate(descs):
+        host.add(100 + i, d)
+        shard.add(100 + i, d)
+
+    for exclude, topk, min_score in [(0, 5, -1.0), (3, 3, 0.0), (10, 8, 0.1)]:
+        q = descs[11] + rng.normal(0, 0.05, 32).astype(np.float32)
+        h = host.query(q, exclude, topk, min_score)
+        s = shard.query(q, exclude, topk, min_score)
+        assert [c.keyframe_id for c in h] == [i for i, _ in s], (exclude, topk)
+        np.testing.assert_allclose(
+            [c.score for c in h], [x for _, x in s], atol=1e-5
+        )
+
+
+def test_sharded_index_empty_and_excluded():
+    from superslam_tpu.ops.retrieval import ShardedCosineIndex
+    from superslam_tpu.parallel.mesh import make_mesh
+
+    idx = ShardedCosineIndex(make_mesh(8), capacity=16, dim=4)
+    assert idx.query(np.ones(4), 0, 3, 0.0) == []
+    idx.add(0, np.ones(4))
+    assert idx.query(np.ones(4), 1, 3, 0.0) == []  # nothing old enough
+    out = idx.query(np.ones(4), 0, 3, 0.0)
+    assert out and out[0][0] == 0
+
+
 def test_device_index_empty_and_excluded():
     dev = DeviceCosineIndex(capacity=8, dim=4)
     assert dev.query(np.ones(4), 0, 3, 0.0) == []

@@ -112,6 +112,45 @@ def test_track_scan_matches_host_tracker_with_noise():
     assert np.linalg.norm(err) < 2e-3, err
 
 
+def test_track_scan_long_run_carry_stability():
+    """100 frames in 10-frame dispatches with the carry threaded across
+    calls (exactly the pipelined runtime's pattern): the pose chain must
+    track a long trajectory without drift blowup and the carry rotation
+    must stay on SO(3) (the in-scan re-orthonormalization's job — f32
+    retraction products alone drift off the manifold linearly)."""
+    rng = np.random.default_rng(7)
+    carry = identity_carry()
+    pose_prev = Pose3()
+    kf_pose = Pose3()
+    lms = None
+    worst = 0.0
+    for dispatch in range(10):
+        if dispatch % 2 == 0:  # "keyframe insertion": refresh the landmarks
+            kf_pose = pose_prev
+            lms = kf_pose.transform_from(
+                rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+            )
+        metas, tms, truths = [], [], []
+        for s in range(10):
+            i = dispatch * 10 + s
+            true = Pose3.expmap(
+                np.array([0.0, 0.002 * i, 0.0, 0.08 * i, 0.01 * i, 0.0])
+            )
+            truths.append(true)
+            metas.append(project(true, lms))
+            tms.append(np.arange(K))
+            pose_prev = true
+        kl, disp, ok, tm = scan_args(metas, tms)
+        out, carry = run_scan(kl, disp, ok, tm, lms, np.ones(K, bool), carry)
+        out = np.asarray(out)
+        for s, true in enumerate(truths):
+            err = np.linalg.norm(true.between(rows_to_pose(out[s])).logmap())
+            worst = max(worst, err)
+    assert worst < 5e-3, worst
+    R = np.asarray(carry[0], np.float64)
+    assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
+
+
 def test_track_scan_mono_ignores_uR():
     """mono=True (the RGB-D device path): the uR residual row is weighted
     zero, so corrupting the disparity channel must not move the solution,
