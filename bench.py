@@ -77,6 +77,12 @@ def synth_sequence(n: int, seed: int = 0):
     return frames
 
 
+def _device_tracker_flag() -> bool:
+    from superslam_tpu.utils.env import env_flag
+
+    return env_flag("SUPERSLAM_DEVICE_TRACKER")
+
+
 def main() -> None:
     from superslam_tpu.frontend.pipelined import PipelinedStereoTracker
 
@@ -88,6 +94,7 @@ def main() -> None:
         estimator,
         depth=int(os.environ.get("BENCH_DEPTH", "3")),
         batch=int(os.environ.get("BENCH_BATCH", "4")),
+        device_tracking=_device_tracker_flag(),
     )
     frames = synth_sequence(N_WARMUP + N_FRAMES)
 
@@ -154,25 +161,55 @@ def main() -> None:
         import jax.numpy as jnp
         from jax import lax
 
-        from superslam_tpu.ops.frontend_step import fused_stereo_step_multi
+        from superslam_tpu.ops.frontend_step import (
+            fused_stereo_step_multi,
+            fused_stereo_track_step_multi,
+        )
 
         img0 = jnp.asarray(pipeline._prepare_np(*frames[0]))
+        device_tracking = _device_tracker_flag()
+
+        def step_program(c):
+            """The SAME program family as the measured run: the plain fused
+            step, or the track variant (extraction + matching + pose LM
+            chain) when SUPERSLAM_DEVICE_TRACKER was on."""
+            common = dict(
+                max_keypoints=pipeline.K,
+                keypoint_threshold=pipeline.keypoint_threshold,
+                remove_borders=pipeline.remove_borders,
+                nms_radius=pipeline.nms_radius,
+                true_width=pipeline.width, true_height=pipeline.height,
+                min_disparity=pipeline.min_disparity,
+                match_threshold=pipeline.match_threshold,
+            )
+            if device_tracking:
+                eye = jnp.eye(3, dtype=jnp.float32)
+                zero = jnp.zeros((3,), jnp.float32)
+                packed, *_ = fused_stereo_track_step_multi(
+                    pipeline.sp_params, pipeline.lg_params, c,
+                    pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
+                    pipeline._kf_xw, pipeline._kf_depth_ok,
+                    eye, zero, eye, zero,
+                    calib=tracker._trk_calib,
+                    min_matches=tracker._trk_min_matches,
+                    track_sigma_px=tracker._trk_sigma_px,
+                    disp_sigma0=tracker._trk_disp_sigma0,
+                    disp_cond=tracker._trk_disp_cond,
+                    **common,
+                )
+                return packed
+            packed, _desc, _kpts, _valid = fused_stereo_step_multi(
+                pipeline.sp_params, pipeline.lg_params, c,
+                pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
+                **common,
+            )
+            return packed
 
         def prog(iters):
             @jax.jit
             def run(images):
                 def body(c, _):
-                    packed, _desc, _kpts, _valid = fused_stereo_step_multi(
-                        pipeline.sp_params, pipeline.lg_params, c,
-                        pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
-                        max_keypoints=pipeline.K,
-                        keypoint_threshold=pipeline.keypoint_threshold,
-                        remove_borders=pipeline.remove_borders,
-                        nms_radius=pipeline.nms_radius,
-                        true_width=pipeline.width, true_height=pipeline.height,
-                        min_disparity=pipeline.min_disparity,
-                        match_threshold=pipeline.match_threshold,
-                    )
+                    packed = step_program(c)
                     nxt = (
                         jnp.roll(c, 1, axis=2) + packed[0, 0].astype(jnp.uint8)
                     ).astype(jnp.uint8)

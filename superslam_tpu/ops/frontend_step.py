@@ -280,6 +280,11 @@ def fused_stereo_track_step_multi(
     (carry_R, carry_t, rel_R, rel_t)) — the carry stays on device and feeds
     the next dispatch; only `packed` and `track_out` are fetched.
     """
+    assert kf_kpts.ndim == 2, (
+        "device tracking is single-sequence: the pose chain carry and the "
+        "(K, 3) keyframe world points have no per-sequence axis (use "
+        "fused_stereo_step_multi + host solves for multi-sequence batches)"
+    )
     kl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
         sp_params,
         lg_params,
