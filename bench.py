@@ -78,15 +78,22 @@ def synth_sequence(n: int, seed: int = 0):
 
 
 def _device_tracker_flag() -> bool:
-    from superslam_tpu.utils.env import env_flag
+    from superslam_tpu.utils.env import device_tracker_wanted
 
-    return env_flag("SUPERSLAM_DEVICE_TRACKER")
+    return device_tracker_wanted()
 
 
 def main() -> None:
     from superslam_tpu.frontend.pipelined import PipelinedStereoTracker
 
     import os
+
+    # Persist XLA compilations like the facade does — the bench compiles
+    # several large programs (fused step, track variant, nested device-only
+    # scans) and re-runs often.
+    from superslam_tpu.slam import _enable_compilation_cache
+
+    _enable_compilation_cache()
 
     pipeline, estimator = make_slam()
     tracker = PipelinedStereoTracker(

@@ -37,7 +37,7 @@ from .models.eigenplaces import init_eigenplaces_params
 from .models.lightglue import init_lightglue_params
 from .models.superpoint import init_superpoint_params
 from .models.weights import load_params
-from .utils.env import env_flag
+from .utils.env import device_tracker_wanted
 from .utils.logging import get_logger
 
 
@@ -225,19 +225,20 @@ class SuperSLAM:
                 depth=depth,
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
-                device_tracking=env_flag("SUPERSLAM_DEVICE_TRACKER"),
+                device_tracking=device_tracker_wanted(),
             )
         elif self._rgbd and depth > 1:
             from .frontend.pipelined_rgbd import PipelinedRgbdTracker
 
             # Device tracking solves on raw pixels (mono factors) — only
             # valid for distortion-free calibrations.
-            dev_trk = env_flag("SUPERSLAM_DEVICE_TRACKER")
+            dev_trk = device_tracker_wanted()
             if dev_trk and self.rgbd_pipeline.dist_coeffs is not None:
-                get_logger().warning(
-                    "SUPERSLAM_DEVICE_TRACKER ignored: RGB-D device tracking "
-                    "requires a distortion-free calibration"
-                )
+                if os.environ.get("SUPERSLAM_DEVICE_TRACKER"):
+                    get_logger().warning(
+                        "SUPERSLAM_DEVICE_TRACKER ignored: RGB-D device "
+                        "tracking requires a distortion-free calibration"
+                    )
                 dev_trk = False
             self._tracker = PipelinedRgbdTracker(
                 self.rgbd_pipeline,
