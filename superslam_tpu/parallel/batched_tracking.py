@@ -63,3 +63,55 @@ def batched_stereo_frontend(
         "matches0": matches0,
         "mscores0": mscores0,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "calib",
+        "min_matches",
+        "track_sigma_px",
+        "disp_sigma0",
+        "disp_cond",
+        "track_iters",
+        "mono",
+    ),
+)
+def batched_track_scan(
+    kl: jnp.ndarray,  # (Q, S, K, 2) — Q sequences, S frames each
+    disparity: jnp.ndarray,  # (Q, S, K)
+    stereo_ok: jnp.ndarray,  # (Q, S, K) bool
+    track_m: jnp.ndarray,  # (Q, S, K) int32
+    kf_xw: jnp.ndarray,  # (Q, K, 3) per-sequence keyframe world points
+    kf_depth_ok: jnp.ndarray,  # (Q, K) bool
+    carry,  # (R (Q,3,3), t (Q,3), rel_R (Q,3,3), rel_t (Q,3))
+    *,
+    calib: tuple,
+    min_matches: int,
+    track_sigma_px: float,
+    disp_sigma0: float,
+    disp_cond: float,
+    track_iters: int = 20,
+    mono: bool = False,
+):
+    """Data-parallel on-device tracking: ops.frontend_step.track_scan vmapped
+    over the sequence axis. Shard every argument's leading Q axis on the
+    mesh 'data' axis and each chip runs its own sequences' pose chains with
+    zero cross-sequence communication — the tracking-on-chip form of
+    multi-sequence batched tracking (vmap's while_loop batching rule runs
+    each sequence's LM to its own convergence under a joint mask).
+
+    Returns (track_out (Q, S, TRACK_COLS), carry with leading Q)."""
+    from ..ops.frontend_step import track_scan
+
+    f = partial(
+        track_scan,
+        calib=calib,
+        min_matches=min_matches,
+        track_sigma_px=track_sigma_px,
+        disp_sigma0=disp_sigma0,
+        disp_cond=disp_cond,
+        track_iters=track_iters,
+        mono=mono,
+    )
+    return jax.vmap(f)(kl, disparity, stereo_ok, track_m, kf_xw, kf_depth_ok, carry)

@@ -98,6 +98,73 @@ def test_batched_tracking_sharded(mesh):
     assert np.isfinite(np.asarray(out["mscores0"])).all()
 
 
+def test_batched_track_scan_sharded_matches_per_sequence(mesh):
+    """Multi-sequence on-device tracking: the vmapped pose chain with the
+    sequence axis sharded over 'data' must equal running track_scan per
+    sequence, and the solved poses must recover the synthetic ground truth."""
+    from superslam_tpu.geometry import Pose3, StereoCalib
+    from superslam_tpu.ops.frontend_step import track_scan
+    from superslam_tpu.parallel.batched_tracking import batched_track_scan
+
+    cal = StereoCalib(fx=80.0, fy=80.0, cx=80.0, cy=60.0, baseline=0.1)
+    calt = (80.0, 80.0, 80.0, 60.0, 0.1)
+    kw = dict(calib=calt, min_matches=10, track_sigma_px=10.0,
+              disp_sigma0=8.0, disp_cond=cal.bf / 40.0)
+    rng = np.random.default_rng(9)
+    Q, S, K = 4, 3, 48
+
+    kls, disps, tms, xws, truths = [], [], [], [], []
+    for q in range(Q):
+        Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+        xws.append(Xw)
+        seq_true, seq_meas = [], []
+        for s in range(3):
+            true = Pose3.expmap(
+                np.array([0.0, 0.01 * (s + 1), 0.0, 0.1 * (s + 1) * (q + 1), 0.0, 0.0])
+            )
+            p = true.transform_to(Xw)
+            uL = cal.fx * p[:, 0] / p[:, 2] + cal.cx
+            uR = cal.fx * (p[:, 0] - cal.baseline) / p[:, 2] + cal.cx
+            v = cal.fy * p[:, 1] / p[:, 2] + cal.cy
+            seq_meas.append(np.stack([uL, uR, v], 1))
+            seq_true.append(true)
+        truths.append(seq_true)
+        kls.append(np.stack([np.stack([m[:, 0], m[:, 2]], 1) for m in seq_meas]))
+        disps.append(np.stack([m[:, 0] - m[:, 1] for m in seq_meas]))
+        tms.append(np.tile(np.arange(K), (3, 1)))
+
+    kl = jnp.asarray(np.stack(kls), jnp.float32)
+    disp = jnp.asarray(np.stack(disps), jnp.float32)
+    ok = jnp.ones((Q, S, K), bool)
+    tm = jnp.asarray(np.stack(tms), jnp.int32)
+    xw = jnp.asarray(np.stack(xws), jnp.float32)
+    dok = jnp.ones((Q, K), bool)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (Q, 3, 3))
+    zero = jnp.zeros((Q, 3), jnp.float32)
+
+    shard = data_sharding(mesh)
+    kl_s = jax.device_put(kl, shard)
+    out, carry = batched_track_scan(
+        kl_s, disp, ok, tm, xw, dok, (eye, zero, eye, zero), **kw
+    )
+    out = np.asarray(out)
+    assert out.shape[:2] == (Q, S)
+
+    eye1, zero1 = jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32)
+    for q in range(Q):
+        ref, _ = track_scan(
+            kl[q], disp[q], ok[q], tm[q], xw[q], dok[q],
+            (eye1, zero1, eye1, zero1), **kw,
+        )
+        np.testing.assert_allclose(out[q], np.asarray(ref), atol=1e-4)
+        for s, true in enumerate(truths[q]):
+            got = Pose3(
+                R=out[q, s, :9].astype(np.float64).reshape(3, 3),
+                t=out[q, s, 9:12].astype(np.float64),
+            )
+            assert np.linalg.norm(true.between(got).logmap()) < 1e-3
+
+
 def test_graft_entry_contract():
     import sys
 
