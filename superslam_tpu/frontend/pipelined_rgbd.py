@@ -61,14 +61,10 @@ class PipelinedRgbdTracker:
         self._last_rel = Pose3()
         self._have_kf = False
         # On-device pose solve (mono factors; SUPERSLAM_DEVICE_TRACKER).
-        # Requires undistorted optics: the device sees raw pixels, the host
-        # solve undistorted ones — callers must gate on dist_coeffs=None.
+        # Distorted calibrations are undistorted ON DEVICE before the solve
+        # (ops.rgbd_step.undistort_points_jnp), matching the host
+        # estimator's coordinates.
         self.device_tracking = bool(device_tracking)
-        if self.device_tracking and pipeline.dist_coeffs is not None:
-            raise ValueError(
-                "RGB-D device tracking requires dist_coeffs-free calibration "
-                "(the device solves on raw pixel coordinates)"
-            )
         self._carry = None
         if self.device_tracking:
             from ..utils.env import env_int
@@ -83,6 +79,12 @@ class PipelinedRgbdTracker:
             )
             self._trk_min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
             self._trk_sigma_px = 10.0  # FrameTracker.cc:24
+            d = pipeline.dist_coeffs
+            if d is None:
+                self._trk_dist = None
+            else:
+                d = [float(x) for x in np.asarray(d).reshape(-1)]
+                self._trk_dist = tuple((d + [0.0] * 5)[:5])
 
     # -- pipeline ------------------------------------------------------------
     def submit(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float) -> None:
@@ -151,6 +153,7 @@ class PipelinedRgbdTracker:
                     calib=self._trk_calib,
                     min_matches=self._trk_min_matches,
                     track_sigma_px=self._trk_sigma_px,
+                    dist=self._trk_dist,
                 )
             )
             pose_fut = _AsyncPose(track_out)

@@ -156,6 +156,32 @@ def fused_rgbd_step_multi(
     return packed.reshape(S * RGBD_PACK_ROWS, -1), desc, kpts, valid
 
 
+def undistort_points_jnp(
+    uv: jnp.ndarray, calib: tuple, dist: tuple, iterations: int = 8
+) -> jnp.ndarray:
+    """Radtan undistortion on device — the jnp mirror of
+    io.undistort.undistort_points (cv::undistortPoints semantics,
+    src/RgbdFrontEnd.cc:36-40). uv (..., 2) pixels -> (..., 2) pixels."""
+    fx, fy, cx, cy, _b = calib
+    k1, k2, p1, p2, k3 = dist
+    xd = (uv[..., 0] - cx) / fx
+    yd = (uv[..., 1] - cy) / fy
+
+    def distort(x, y):
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        xn = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yn = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return xn, yn
+
+    x, y = xd, yd
+    for _ in range(iterations):
+        dx, dy = distort(x, y)
+        x = x + (xd - dx)
+        y = y + (yd - dy)
+    return jnp.stack([x * fx + cx, y * fy + cy], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -170,6 +196,7 @@ def fused_rgbd_step_multi(
         "min_matches",
         "track_sigma_px",
         "track_iters",
+        "dist",
     ),
 )
 def fused_rgbd_track_step_multi(
@@ -196,6 +223,7 @@ def fused_rgbd_track_step_multi(
     min_matches: int,
     track_sigma_px: float,
     track_iters: int = 20,
+    dist: tuple | None = None,
 ):
     """fused_rgbd_step_multi + the on-device pose chain (MONO factors).
 
@@ -203,9 +231,10 @@ def fused_rgbd_track_step_multi(
     RgbdFrontEnd split, src/RgbdFrontEnd.cc:23-58), so the per-frame solve
     uses (uL, v) reprojection residuals only — track_scan with mono=True;
     the KF world points (backprojected from sensor depth at keyframe
-    insertion, uploaded once per keyframe) carry the metric scale. Raw vs
-    undistorted pixels must agree for the solve to be valid: callers gate
-    this path on dist_coeffs being absent.
+    insertion, uploaded once per keyframe) carry the metric scale. For
+    distorted calibrations pass `dist` (radtan k1,k2,p1,p2,k3): the frame
+    keypoints are undistorted ON DEVICE before the solve, matching the host
+    estimator's cv::undistortPoints-equivalent coordinates.
 
     Returns (packed, desc, kpts, valid, track_out (S, TRACK_COLS) f32,
     (carry_R, carry_t, rel_R, rel_t)).
@@ -229,8 +258,9 @@ def fused_rgbd_track_step_multi(
     )
     S = images_u8.shape[0]
     track_m = packed.reshape(S, RGBD_PACK_ROWS, -1)[:, 2].astype(jnp.int32)
+    kl = kpts if dist is None else undistort_points_jnp(kpts, calib, dist)
     track_out, carry = track_scan(
-        kpts,
+        kl,
         jnp.zeros(valid.shape, jnp.float32),
         valid,
         track_m,

@@ -230,23 +230,13 @@ class SuperSLAM:
         elif self._rgbd and depth > 1:
             from .frontend.pipelined_rgbd import PipelinedRgbdTracker
 
-            # Device tracking solves on raw pixels (mono factors) — only
-            # valid for distortion-free calibrations.
-            dev_trk = device_tracker_wanted()
-            if dev_trk and self.rgbd_pipeline.dist_coeffs is not None:
-                if os.environ.get("SUPERSLAM_DEVICE_TRACKER"):
-                    get_logger().warning(
-                        "SUPERSLAM_DEVICE_TRACKER ignored: RGB-D device "
-                        "tracking requires a distortion-free calibration"
-                    )
-                dev_trk = False
             self._tracker = PipelinedRgbdTracker(
                 self.rgbd_pipeline,
                 self.estimator,
                 depth=depth,
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
-                device_tracking=dev_trk,
+                device_tracking=device_tracker_wanted(),
             )
 
     # -- tracking -------------------------------------------------------------

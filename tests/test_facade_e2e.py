@@ -157,6 +157,39 @@ loop:
     slam.shutdown()
 
 
+def test_device_tracking_with_async_loop_worker(config_path, tmp_path, monkeypatch):
+    """Device tracking + the async loop worker together: keyframe grays must
+    thread through the pipelined in-flight records into the worker, the
+    worker must index every keyframe, and shutdown must drain cleanly while
+    pose solves stay on the chip."""
+    cfg = CONFIG + """
+loop:
+  image_width: 64
+  image_height: 64
+  min_inliers: 8
+  min_score: 0.5
+"""
+    p = tmp_path / "loop_dev.yaml"
+    p.write_text(cfg)
+    monkeypatch.setenv("SUPERSLAM_ENABLE_LOOP", "1")
+    monkeypatch.setenv("SUPERSLAM_PIPELINE", "2")
+    monkeypatch.setenv("SUPERSLAM_DEVICE_TRACKER", "1")
+    slam = SuperSLAM(str(p))
+    assert slam.loop_enabled and slam._tracker.device_tracking
+    rng = np.random.default_rng(8)
+    base = rng.uniform(0, 255, (140, 180)).astype(np.uint8)
+    for i in range(8):
+        left = base[i : i + 120, 2 * i : 2 * i + 160]
+        Tcw = slam.track_stereo(left, np.roll(left, -4, axis=1), 0.1 * i)
+        assert np.isfinite(Tcw).all()
+    slam._tracker.flush()
+    slam.estimator.stop_loop_worker()
+    db = slam.estimator._loop_closer.db
+    assert len(db) >= 1
+    assert all(r.global_descriptor is not None for r in db.records())
+    slam.shutdown()
+
+
 def test_rgbd_pipelined_matches_synchronous(config_path, tmp_path, monkeypatch):
     """The pipelined RGB-D tracker (default) must produce the same corrected
     trajectory as the synchronous path (SUPERSLAM_PIPELINE=0)."""
@@ -192,6 +225,52 @@ def test_rgbd_pipelined_matches_synchronous(config_path, tmp_path, monkeypatch):
     piped = run("3")
     assert len(sync) == len(piped) == len(seq)
     for a, b in zip(sync, piped):
+        assert np.linalg.norm(a.t - b.t) < 0.2
+
+
+def test_rgbd_device_tracking_with_distortion(config_path, tmp_path, monkeypatch):
+    """Distorted RGB-D calibration: the fused program undistorts the frame
+    keypoints ON DEVICE (radtan fixed-point, ops.rgbd_step) so the mono
+    solve runs in the same coordinates as the host estimator — the
+    trajectories must agree and no solve may fall back to the host after
+    warm-up."""
+    cfg = CONFIG + "\nDepthMapFactor: 5000.0\nCamera.k1: -0.2\nCamera.k2: 0.05\n"
+    p = tmp_path / "rgbd_dist.yaml"
+    p.write_text(cfg)
+    rng = np.random.default_rng(6)
+    base = rng.uniform(0, 255, (152, 192)).astype(np.uint8)
+    dbase = (rng.uniform(0.5, 3.0, (152, 192)) * 5000).astype(np.uint16)
+    seq = [
+        (base[i : i + 120, 2 * i : 2 * i + 160],
+         dbase[i : i + 120, 2 * i : 2 * i + 160])
+        for i in range(10)
+    ]
+
+    def run(device_tracker):
+        monkeypatch.setenv("SUPERSLAM_PIPELINE", "2")
+        monkeypatch.setenv("SUPERSLAM_PIPELINE_BATCH", "1")
+        monkeypatch.setenv("SUPERSLAM_DEVICE_TRACKER", device_tracker)
+        monkeypatch.setenv("SUPERSLAM_TRACK_MIN_MATCHES", "2")
+        slam = SuperSLAM(str(p))
+        assert slam.rgbd_pipeline.dist_coeffs is not None
+        host_solves = []
+        orig = slam.estimator.tracker.track_arrays
+        slam.estimator.tracker.track_arrays = (
+            lambda *a, **k: host_solves.append(1) or orig(*a, **k)
+        )
+        for i, (g, d) in enumerate(seq):
+            slam.track_rgbd(g, d, 0.1 * i)
+        slam._tracker.flush()
+        slam.estimator.stop_loop_worker()
+        traj = slam.estimator.corrected_trajectory()
+        slam.shutdown()
+        return traj, host_solves
+
+    host_traj, host_solves = run("0")
+    dev_traj, dev_solves = run("1")
+    assert len(dev_solves) <= 2, dev_solves  # warm-up fallback only
+    assert len(host_traj) == len(dev_traj) == len(seq)
+    for a, b in zip(host_traj, dev_traj):
         assert np.linalg.norm(a.t - b.t) < 0.2
 
 

@@ -178,6 +178,24 @@ def test_track_scan_mono_ignores_uR():
     assert np.linalg.norm(got1.between(got2).logmap()) < 1e-6
 
 
+def test_undistort_points_jnp_matches_host():
+    """The on-device radtan inversion must match io.undistort's
+    cv::undistortPoints-equivalent to sub-hundredth-pixel."""
+    from superslam_tpu.io.undistort import undistort_points
+    from superslam_tpu.ops.rgbd_step import undistort_points_jnp
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform([5, 5], [155, 115], (64, 2))
+    dist = np.array([-0.25, 0.08, 0.001, -0.002, 0.0])
+    host = undistort_points(pts, CAL, dist)
+    dev = np.asarray(
+        undistort_points_jnp(
+            jnp.asarray(pts, jnp.float32), CALT, tuple(dist.tolist())
+        )
+    )
+    np.testing.assert_allclose(dev, host, atol=5e-3)
+
+
 def test_track_scan_coasts_below_min_matches():
     rng = np.random.default_rng(5)
     Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
