@@ -97,6 +97,99 @@ def test_kitti_runner_and_evaluation(kitti_dir, tmp_path, monkeypatch):
     assert metrics["frames"] == 4
 
 
+def test_euroc_runner_with_rectification(tmp_path, monkeypatch):
+    """EuRoC layout (mav0/cam0/{data.csv,data/}) with identity-rotation
+    rectification maps built from the LEFT.*/RIGHT.* yaml blocks — the
+    on-the-fly remap path of examples/stereo/euroc.cc."""
+    seq = tmp_path / "euroc_seq"
+    for cam in ("cam0", "cam1"):
+        (seq / "mav0" / cam / "data").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    base = rng.uniform(0, 255, (140, 200)).astype(np.uint8)
+    lines = ["#timestamp [ns],filename"]
+    for i in range(4):
+        left = base[i : i + 120, 2 * i : 2 * i + 160]
+        name = f"{1403636579763555584 + i * 50000000}.png"
+        _png(str(seq / "mav0" / "cam0" / "data" / name), left)
+        _png(str(seq / "mav0" / "cam1" / "data" / name), np.roll(left, -4, axis=1))
+        lines.append(f"{1403636579763555584 + i * 50000000},{name}")
+    (seq / "mav0" / "cam0" / "data.csv").write_text("\n".join(lines) + "\n")
+
+    rect = """
+LEFT.width: 160
+LEFT.height: 120
+LEFT.K: {rows: 3, cols: 3, data: [80.0, 0.0, 80.0, 0.0, 80.0, 60.0, 0.0, 0.0, 1.0]}
+LEFT.D: {rows: 1, cols: 5, data: [0.0, 0.0, 0.0, 0.0, 0.0]}
+LEFT.R: {rows: 3, cols: 3, data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]}
+LEFT.P: {rows: 3, cols: 4, data: [80.0, 0.0, 80.0, 0.0, 0.0, 80.0, 60.0, 0.0, 0.0, 0.0, 1.0, 0.0]}
+RIGHT.width: 160
+RIGHT.height: 120
+RIGHT.K: {rows: 3, cols: 3, data: [80.0, 0.0, 80.0, 0.0, 80.0, 60.0, 0.0, 0.0, 1.0]}
+RIGHT.D: {rows: 1, cols: 5, data: [0.0, 0.0, 0.0, 0.0, 0.0]}
+RIGHT.R: {rows: 3, cols: 3, data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]}
+RIGHT.P: {rows: 3, cols: 4, data: [80.0, 0.0, 80.0, 0.0, 0.0, 80.0, 60.0, 0.0, 0.0, 0.0, 1.0, 0.0]}
+"""
+    cfg = tmp_path / "euroc.yaml"
+    cfg.write_text(TINY_CFG + rect)
+    out = tmp_path / "est_euroc.txt"
+    _run_example(
+        "euroc", [str(cfg), str(seq), "--no-viewer", "--out", str(out)], monkeypatch
+    )
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 4  # TUM format: ts x y z qx qy qz qw
+    assert all(len(l.split()) == 8 for l in lines)
+    # EuRoC ground truth is its own CSV schema (ns, t, q_wxyz): synthesize a
+    # GT file from the estimate so the evaluator's association + Umeyama
+    # path runs for real and scores 0 against itself.
+    gt = tmp_path / "gt.csv"
+    rows = ["#timestamp, p_x, p_y, p_z, q_w, q_x, q_y, q_z"]
+    for l in lines:
+        v = l.split()
+        ts_ns = int(round(float(v[0]) * 1e9))
+        x, y, z, qx, qy, qz, qw = map(float, v[1:])
+        rows.append(f"{ts_ns},{x},{y},{z},{qw},{qx},{qy},{qz}")
+    gt.write_text("\n".join(rows) + "\n")
+    r2 = _run(["scripts/evaluate_euroc.py", str(out), str(gt)])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["ate_rmse_m"] == pytest.approx(
+        0.0, abs=1e-5
+    )
+
+
+def test_tartan_runner(tmp_path, monkeypatch):
+    """TartanAir layout: image_left/image_right, 10 Hz synthesized stamps."""
+    seq = tmp_path / "tartan_seq"
+    (seq / "image_left").mkdir(parents=True)
+    (seq / "image_right").mkdir()
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (140, 200)).astype(np.uint8)
+    for i in range(3):
+        left = base[i : i + 120, 2 * i : 2 * i + 160]
+        _png(str(seq / "image_left" / f"{i:06d}_left.png"), left)
+        _png(str(seq / "image_right" / f"{i:06d}_right.png"), np.roll(left, -4, axis=1))
+    cfg = tmp_path / "tartan.yaml"
+    cfg.write_text(TINY_CFG)
+    out = tmp_path / "est_tartan.txt"
+    _run_example(
+        "tartan", [str(cfg), str(seq), "--no-viewer", "--out", str(out)], monkeypatch
+    )
+    assert len(out.read_text().strip().splitlines()) == 3
+
+
+def test_benchmark_runner(kitti_dir, tmp_path, monkeypatch, capsys):
+    """The dataset benchmark (examples/stereo/benchmark.cc analogue) must
+    report latency percentiles + sustained fps over a KITTI sequence."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_CFG)
+    _run_example(
+        "benchmark",
+        [str(cfg), str(kitti_dir), "--no-viewer", "--warmup", "1"],
+        monkeypatch,
+    )
+    text = capsys.readouterr().out + capsys.readouterr().err
+    assert "fps" in text and "p95" in text
+
+
 def test_tum_runner(tmp_path, monkeypatch):
     seq = tmp_path / "tum_seq"
     (seq / "rgb").mkdir(parents=True)
