@@ -71,6 +71,10 @@ class KeyframeMsg:
     relative_odometry: Pose3 = field(default_factory=Pose3)
     record: KeyframeRecord = field(default_factory=KeyframeRecord)
     left_gray: np.ndarray | None = None
+    # Lazy global-descriptor source evaluated ON THE WORKER THREAD (the
+    # pipelined trackers hand in a closure over the device-resident frame,
+    # so the loop path never re-uploads the image).
+    descriptor_provider: "callable | None" = None
 
 
 class VoEstimator:
@@ -187,6 +191,7 @@ class VoEstimator:
         kf_matches: "MatchResult | None" = None,
         kf_ref_id: int | None = None,
         device_pose: Pose3 | None = None,
+        descriptor_provider=None,
     ) -> Pose3:
         """Track one frame. `kf_matches` optionally carries precomputed
         frame-to-keyframe matches (the fused device pipeline computes them in
@@ -197,9 +202,14 @@ class VoEstimator:
         `device_pose` optionally carries the pose solved ON DEVICE in the
         same program (fused_stereo_track_step_multi); it replaces the host
         FrameTracker solve but every gate (coast, keyframe, smoothing) still
-        runs here."""
+        runs here. `descriptor_provider` lazily supplies the loop worker's
+        global descriptor (evaluated on the worker thread) in place of
+        `left_gray`."""
         with profile_scope("vo_track_total"):
-            return self._track(frame, left_gray, kf_matches, kf_ref_id, device_pose)
+            return self._track(
+                frame, left_gray, kf_matches, kf_ref_id, device_pose,
+                descriptor_provider,
+            )
 
     def _track(
         self,
@@ -208,11 +218,12 @@ class VoEstimator:
         kf_matches: "MatchResult | None",
         kf_ref_id: int | None = None,
         device_pose: Pose3 | None = None,
+        descriptor_provider=None,
     ) -> Pose3:
         n = len(frame)
 
         if not self._has_keyframe:
-            return self._init_first_keyframe(frame, left_gray)
+            return self._init_first_keyframe(frame, left_gray, descriptor_provider)
 
         # Match current frame to the reference keyframe (query=KF, train=frame).
         kf = self._last_keyframe
@@ -306,7 +317,8 @@ class VoEstimator:
             self._max_keyframe_frames,
         ):
             frame_pose = self._insert_keyframe(
-                frame, frame_pose, frame_matched_landmark, left_gray
+                frame, frame_pose, frame_matched_landmark, left_gray,
+                descriptor_provider,
             )
 
         self._previous_frame_pose = frame_pose
@@ -345,7 +357,10 @@ class VoEstimator:
         return self.calib.backproject_cam_batch(frame.stereo[idx])
 
     def _init_first_keyframe(
-        self, frame: StereoFrame, left_gray: np.ndarray | None
+        self,
+        frame: StereoFrame,
+        left_gray: np.ndarray | None,
+        descriptor_provider=None,
     ) -> Pose3:
         origin = Pose3()
         frame.pose = origin
@@ -372,7 +387,9 @@ class VoEstimator:
         self._seed_anchors[self._last_keyframe_id] = origin
 
         if self._loop_enabled:
-            msg = self._make_keyframe_msg(self._last_keyframe_id, frame, left_gray)
+            msg = self._make_keyframe_msg(
+                self._last_keyframe_id, frame, left_gray, descriptor_provider
+            )
             msg.has_previous = False
             self._submit_keyframe(msg)
         self._frame_records.append((self._last_keyframe_id, Pose3()))
@@ -384,6 +401,7 @@ class VoEstimator:
         frame_pose: Pose3,
         frame_matched_landmark: dict[int, int],
         left_gray: np.ndarray | None,
+        descriptor_provider=None,
     ) -> Pose3:
         self._frames_since_keyframe = 0
         previous_keyframe_id = self._last_keyframe_id
@@ -421,7 +439,9 @@ class VoEstimator:
         self._seed_anchors[keyframe_id] = frame_pose
 
         if self._loop_enabled:
-            msg = self._make_keyframe_msg(keyframe_id, self._last_keyframe, left_gray)
+            msg = self._make_keyframe_msg(
+                keyframe_id, self._last_keyframe, left_gray, descriptor_provider
+            )
             msg.has_previous = True
             msg.previous_keyframe_id = previous_keyframe_id
             if self.smoother.in_window(previous_keyframe_id) and self.smoother.in_window(
@@ -434,7 +454,11 @@ class VoEstimator:
         return frame_pose
 
     def _make_keyframe_msg(
-        self, keyframe_id: int, frame: StereoFrame, left_gray: np.ndarray | None
+        self,
+        keyframe_id: int,
+        frame: StereoFrame,
+        left_gray: np.ndarray | None,
+        descriptor_provider=None,
     ) -> KeyframeMsg:
         rec = KeyframeRecord(
             keyframe_id=keyframe_id,
@@ -450,6 +474,7 @@ class VoEstimator:
             pose=frame.pose,
             record=rec,
             left_gray=None if left_gray is None else np.array(left_gray, copy=True),
+            descriptor_provider=descriptor_provider,
         )
 
     def _submit_keyframe(self, msg: KeyframeMsg) -> None:
@@ -482,10 +507,13 @@ class VoEstimator:
             )
 
         loop_result = None
-        if msg.left_gray is not None:
+        if msg.descriptor_provider is not None:
+            msg.record.global_descriptor = msg.descriptor_provider()
+        elif msg.left_gray is not None:
             msg.record.global_descriptor = self._loop_closer.compute_global_descriptor(
                 msg.left_gray
             )
+        if msg.record.global_descriptor is not None:
             self._loop_closer.add_keyframe(msg.record)
             loop_result = self._loop_closer.detect(msg.record)
             self.last_loop_score = loop_result.best_score

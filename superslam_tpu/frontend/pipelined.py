@@ -93,6 +93,7 @@ class _InFlight:
     kf_ref_id: int | None
     left_gray: np.ndarray | None
     pose: "_AsyncPose | None" = None  # device-tracking pose block
+    left_dev: Any = None  # device-resident (2, H, W) uint8 upload
 
 
 class PipelinedStereoTracker:
@@ -104,11 +105,20 @@ class PipelinedStereoTracker:
         batch: int = 1,
         keep_gray: bool = False,
         device_tracking: bool = False,
+        loop_descriptor_fn=None,
     ):
         self.pipeline = pipeline
         self.estimator = estimator
         self.depth = max(1, int(depth))
         self.batch = max(1, int(batch))
+        # Loop-closure descriptor source: a callable over the DEVICE-resident
+        # uint8 frame (recognizer.compute_global_descriptor_from_device).
+        # When set, keyframes hand the loop worker a lazy closure instead of
+        # a host gray copy — no image ever re-crosses the host link for the
+        # loop path.
+        self.loop_descriptor_fn = loop_descriptor_fn
+        if loop_descriptor_fn is not None:
+            keep_gray = False
         # On-device pose solve (SUPERSLAM_DEVICE_TRACKER): the fused program
         # also runs the pose-only LM per frame and the host estimator adopts
         # the solved pose instead of calling FrameTracker — tracking never
@@ -254,7 +264,7 @@ class PipelinedStereoTracker:
         S = len(staged)
         fut = _AsyncPacked(packed, S)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
-        for s, (_, ts, left_gray) in enumerate(staged[:n_real]):
+        for s, (dev, ts, left_gray) in enumerate(staged[:n_real]):
             # The batched outputs go in whole; LazySlotFeatures slices a
             # frame's rows only if something (keyframe adoption, host
             # re-match) actually reads them — 3*S eager slice submissions
@@ -270,6 +280,7 @@ class PipelinedStereoTracker:
                     kf_ref,
                     left_gray,
                     pose=pose_fut,
+                    left_dev=dev if self.loop_descriptor_fn is not None else None,
                 )
             )
 
@@ -286,6 +297,10 @@ class PipelinedStereoTracker:
                 R=row[:9].astype(np.float64).reshape(3, 3),
                 t=row[9:12].astype(np.float64),
             )
+        provider = None
+        if self.loop_descriptor_fn is not None and item.left_dev is not None:
+            fn, dev = self.loop_descriptor_fn, item.left_dev
+            provider = lambda: fn(dev[0])  # noqa: E731 — evaluated on the worker
         prev = self._last_pose
         pose = self.estimator.track(
             frame,
@@ -293,6 +308,7 @@ class PipelinedStereoTracker:
             kf_matches=kf_matches if item.kf_ref_id is not None else None,
             kf_ref_id=item.kf_ref_id,
             device_pose=device_pose,
+            descriptor_provider=provider,
         )
         if self.estimator._last_keyframe is frame:
             self.pipeline.set_keyframe(frame.descriptors_left)

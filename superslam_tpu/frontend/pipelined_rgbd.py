@@ -35,6 +35,7 @@ class _InFlight:
     depth_img: np.ndarray
     gray: np.ndarray | None
     pose: "_AsyncPose | None" = None  # device-tracking pose block
+    gray_dev: Any = None  # device-resident (1, H, W) uint8 upload
 
 
 class PipelinedRgbdTracker:
@@ -46,6 +47,7 @@ class PipelinedRgbdTracker:
         batch: int = 1,
         keep_gray: bool = False,
         device_tracking: bool = False,
+        loop_descriptor_fn=None,
     ):
         self.pipeline = pipeline
         self.estimator = estimator
@@ -54,6 +56,10 @@ class PipelinedRgbdTracker:
         estimator._kf_store_size = max(
             estimator._kf_store_size, self.depth * self.batch + 2
         )
+        # See frontend.pipelined: device-resident loop descriptor source.
+        self.loop_descriptor_fn = loop_descriptor_fn
+        if loop_descriptor_fn is not None:
+            keep_gray = False
         self.keep_gray = keep_gray
         self._staged: list[tuple[Any, np.ndarray, float, np.ndarray | None]] = []
         self._pending: deque[_InFlight] = deque()
@@ -176,11 +182,12 @@ class PipelinedRgbdTracker:
         S = len(staged)
         fut = _AsyncPacked(packed, S, RGBD_PACK_ROWS)
         kf_ref = self.estimator._last_keyframe_id if self._have_kf else None
-        for s, (_, depth_img, ts, gray) in enumerate(staged[:n_real]):
+        for s, (dev, depth_img, ts, gray) in enumerate(staged[:n_real]):
             self._pending.append(
                 _InFlight(
                     ts, fut, s, desc, kpts, valid, kf_ref, depth_img, gray,
                     pose=pose_fut,
+                    gray_dev=dev if self.loop_descriptor_fn is not None else None,
                 )
             )
 
@@ -197,6 +204,10 @@ class PipelinedRgbdTracker:
                 R=row[:9].astype(np.float64).reshape(3, 3),
                 t=row[9:12].astype(np.float64),
             )
+        provider = None
+        if self.loop_descriptor_fn is not None and item.gray_dev is not None:
+            fn, dev = self.loop_descriptor_fn, item.gray_dev
+            provider = lambda: fn(dev[0])  # noqa: E731 — evaluated on the worker
         prev = self._last_pose
         pose = self.estimator.track(
             frame,
@@ -204,6 +215,7 @@ class PipelinedRgbdTracker:
             kf_matches=kf_matches if item.kf_ref_id is not None else None,
             kf_ref_id=item.kf_ref_id,
             device_pose=device_pose,
+            descriptor_provider=provider,
         )
         if self.estimator._last_keyframe is frame:
             self.pipeline.set_keyframe(frame.descriptors_left)

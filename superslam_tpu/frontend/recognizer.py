@@ -33,6 +33,24 @@ class EigenPlacesRecognizer:
             d = eigenplaces_descriptor(self.params, jnp.asarray(x))
             return np.asarray(d[0], np.float32)
 
+    def compute_global_descriptor_from_device(
+        self, gray_u8_dev, true_height: int, true_width: int
+    ) -> np.ndarray:
+        """Descriptor from a device-resident uint8 tracking frame — no image
+        re-upload (the pipelined trackers hand the fused step's own upload
+        straight to this)."""
+        from ..models.eigenplaces import eigenplaces_descriptor_from_device_gray
+
+        with profile_scope("ep_descriptor"):
+            d = eigenplaces_descriptor_from_device_gray(
+                self.params,
+                gray_u8_dev,
+                true_height=true_height,
+                true_width=true_width,
+                size=self.image_size,
+            )
+            return np.asarray(d, np.float32)
+
     def add(self, keyframe_id: int, global_descriptor: np.ndarray) -> None:
         self.index.add(keyframe_id, global_descriptor)
 

@@ -112,6 +112,33 @@ def eigenplaces_descriptor(params: Params, image: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("true_height", "true_width", "size")
+)
+def eigenplaces_descriptor_from_device_gray(
+    params: Params,
+    gray_u8: jnp.ndarray,  # (H, W) uint8, device-resident (may be padded)
+    true_height: int,
+    true_width: int,
+    size: int = 512,
+) -> jnp.ndarray:
+    """Global descriptor straight from a device-resident tracking frame.
+
+    The reference (and the host path) re-uploads a host-preprocessed
+    (1, size, size, 3) f32 image per keyframe (src/EigenPlaces.cc:123-143,
+    ~3 MB over this host link); here the fused front-end's own uint8 upload
+    is reused: slice off padding, scale, bilinear-resize, replicate gray to
+    RGB and ImageNet-normalize ON DEVICE, then the ResNet18+GeM forward.
+    Matches preprocess_image + eigenplaces_descriptor to resize precision.
+    Returns (Dg,) L2-normalized f32.
+    """
+    img = gray_u8[:true_height, :true_width].astype(jnp.float32) / 255.0
+    img = jax.image.resize(img, (size, size), method="bilinear")
+    img = jnp.stack([img] * 3, axis=-1)
+    img = (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return eigenplaces_descriptor(params, img[None])[0]
+
+
 def preprocess_image(image: np.ndarray, size: int = 512) -> np.ndarray:
     """Gray/BGR uint8 or float -> (1, size, size, 3) ImageNet-normalized RGB.
 

@@ -183,6 +183,7 @@ class SuperSLAM:
                 lc = LoopCloser(loop_matcher, self.calib, recognizer, params)
                 self.estimator.enable_loop_closure(lc, async_=True)
                 self.loop_enabled = True
+                self._recognizer = recognizer
             except Exception as e:  # degrade gracefully (SuperSLAM.cc:126-135)
                 log.error("loop closure init failed (%s); continuing VO-only", e)
 
@@ -213,6 +214,17 @@ class SuperSLAM:
         batch = int(os.environ.get("SUPERSLAM_PIPELINE_BATCH", "1"))
         if use_viewer:
             depth = 0  # the viewer draws per frame; stay synchronous
+        # Loop descriptors straight from the device-resident frame: the
+        # pipelined trackers hand the worker a closure over the fused
+        # step's own uint8 upload instead of a host gray copy, so the loop
+        # path never re-crosses the host link with an image.
+        loop_fn = None
+        if self.loop_enabled and getattr(self, "_recognizer", None) is not None:
+            rec = self._recognizer
+
+            def loop_fn(gray_dev, _rec=rec, _h=lg_h, _w=lg_w):
+                return _rec.compute_global_descriptor_from_device(gray_dev, _h, _w)
+
         if not self._rgbd and depth > 1:
             from .frontend.pipelined import PipelinedStereoTracker
 
@@ -226,6 +238,7 @@ class SuperSLAM:
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
                 device_tracking=device_tracker_wanted(),
+                loop_descriptor_fn=loop_fn,
             )
         elif self._rgbd and depth > 1:
             from .frontend.pipelined_rgbd import PipelinedRgbdTracker
@@ -237,6 +250,7 @@ class SuperSLAM:
                 batch=max(1, batch),
                 keep_gray=self.loop_enabled,
                 device_tracking=device_tracker_wanted(),
+                loop_descriptor_fn=loop_fn,
             )
 
     # -- tracking -------------------------------------------------------------

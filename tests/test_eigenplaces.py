@@ -94,3 +94,39 @@ def test_resnet_parity_with_torch(params):
         resnet18_features(params, jnp.asarray(img), dtype=jnp.float32), np.float32
     )
     np.testing.assert_allclose(feat_j, feat_t, atol=1e-3)
+
+
+def test_device_gray_descriptor_matches_host_path():
+    """eigenplaces_descriptor_from_device_gray (the pipelined loop path: no
+    image re-upload) must reproduce preprocess_image + eigenplaces_descriptor
+    on the same frame, including the padding slice."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.models.eigenplaces import (
+        eigenplaces_descriptor,
+        eigenplaces_descriptor_from_device_gray,
+        init_eigenplaces_params,
+        preprocess_image,
+    )
+
+    params = init_eigenplaces_params(0)
+    rng = np.random.default_rng(4)
+    h, w, size = 120, 160, 64
+    gray = rng.integers(0, 255, (h, w)).astype(np.uint8)
+
+    host = np.asarray(
+        eigenplaces_descriptor(
+            params, jnp.asarray(preprocess_image(gray, size))
+        )[0],
+        np.float32,
+    )
+    padded = np.zeros((128, 160), np.uint8)  # pipeline-style bottom padding
+    padded[:h] = gray
+    dev = np.asarray(
+        eigenplaces_descriptor_from_device_gray(
+            params, jnp.asarray(padded), true_height=h, true_width=w, size=size
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(dev, host, atol=2e-3)
+    np.testing.assert_allclose(np.linalg.norm(dev), 1.0, atol=1e-4)
