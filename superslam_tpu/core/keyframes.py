@@ -23,7 +23,9 @@ class KeyframeRecord:
     timestamp: float = 0.0
     pose_at_insert: Pose3 = field(default_factory=Pose3)  # cached seed
     keypoints_left: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
-    descriptors_left: np.ndarray = field(default_factory=lambda: np.zeros((0, 256)))
+    # Host float32 rows OR a device-resident PaddedFeatures (the matcher
+    # consumes either; device records avoid loop-verify host round trips).
+    descriptors_left: object = field(default_factory=lambda: np.zeros((0, 256)))
     stereo: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     has_depth: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=bool))
     global_descriptor: np.ndarray | None = None  # [Dg], L2-normalized

@@ -465,7 +465,12 @@ class VoEstimator:
             timestamp=frame.timestamp,
             pose_at_insert=frame.pose,
             keypoints_left=frame.keypoints_left,
-            descriptors_left=self.matcher.descriptors_to_host(frame.descriptors_left),
+            # Device-capable matchers keep the record's descriptors in HBM
+            # (loop verification consumes them without any host round trip);
+            # others materialize float32 rows.
+            descriptors_left=getattr(
+                self.matcher, "retain_for_matching", self.matcher.descriptors_to_host
+            )(frame.descriptors_left),
             stereo=frame.stereo,
             has_depth=frame.has_depth,
         )

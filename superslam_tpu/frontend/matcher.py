@@ -107,3 +107,27 @@ class LightGlueMatcher:
 
     def descriptors_to_host(self, d: Any) -> np.ndarray:
         return host_descriptors(d)
+
+    def retain_for_matching(self, feats: Any) -> Any:
+        """Keyframe-record form of a frame's descriptors.
+
+        Device-backed features stay ON DEVICE: the loop verifier's
+        ``match`` consumes PaddedFeatures HBM buffers directly, so keeping
+        the record device-resident removes both the per-keyframe D2H
+        (~0.6 MB) and the re-upload every geometric verification would
+        otherwise pay on this bandwidth-bound host link. Batched program
+        outputs are materialized into standalone per-frame buffers so the
+        record never retains a whole (S, K, D) block. Host inputs fall
+        back to float32 rows (the reference's descriptors_to_host,
+        src/LightGlue.cc:443-460)."""
+        desc = getattr(feats, "desc", None)
+        if desc is not None and not isinstance(desc, np.ndarray):
+            return PaddedFeatures(
+                kpts=feats.kpts,  # materializes the slot slice if batched
+                desc=desc,
+                n=feats.n,
+                width=feats.width,
+                height=feats.height,
+                valid=feats.valid,
+            )
+        return host_descriptors(feats)

@@ -153,7 +153,11 @@ loop:
     rec = db.records()[0]
     assert rec.global_descriptor is not None
     assert np.isfinite(rec.global_descriptor).all()
-    assert rec.descriptors_left.shape[1] == 256
+    # Device-capable matcher: the record keeps descriptors in HBM
+    # (PaddedFeatures); host rows are one materialization away.
+    from superslam_tpu.frontend.features import host_descriptors
+
+    assert host_descriptors(rec.descriptors_left).shape[1] == 256
     slam.shutdown()
 
 

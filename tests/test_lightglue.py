@@ -139,3 +139,47 @@ def test_bf16_matches_f32_assignments(params):
     m16, m32 = np.asarray(m16[0]), np.asarray(m32[0])
     agree = (m16 == m32).mean()
     assert agree > 0.9, f"bf16/f32 assignment agreement {agree:.2f}"
+
+
+def test_retain_for_matching_device_records():
+    """Keyframe records retained by the matcher stay device-resident and
+    match identically to the host float32 rows they replace (the loop
+    verifier's data path: record PaddedFeatures -> matcher.match with no
+    host round trip)."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.frontend.features import PaddedFeatures, host_descriptors
+    from superslam_tpu.frontend.matcher import LightGlueMatcher
+
+    K, W, H = 64, 160, 120
+    params = init_lightglue_params(0)
+    matcher = LightGlueMatcher(params, image_width=W, image_height=H, max_keypoints=K)
+    rng = np.random.default_rng(5)
+
+    def feats(seed, n):
+        r = np.random.default_rng(seed)
+        kp = np.zeros((K, 2), np.float32)
+        kp[:n] = r.uniform([4, 4], [W - 4, H - 4], (n, 2))
+        d = r.standard_normal((K, 256)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d[n:] = 0
+        return PaddedFeatures(
+            kpts=jnp.asarray(kp), desc=jnp.asarray(d), n=n, width=W, height=H,
+            valid=jnp.asarray(np.arange(K) < n),
+        )
+
+    f0, f1 = feats(1, 40), feats(2, 36)
+    r0, r1 = matcher.retain_for_matching(f0), matcher.retain_for_matching(f1)
+    assert not isinstance(r0, np.ndarray)  # stayed on device
+
+    kp0 = np.asarray(f0.kpts)[: f0.n]
+    kp1 = np.asarray(f1.kpts)[: f1.n]
+    m_dev = matcher.match(kp0, r0, kp1, r1)
+    m_host = matcher.match(
+        kp0, host_descriptors(f0), kp1, host_descriptors(f1)
+    )
+    np.testing.assert_array_equal(m_dev.matches, m_host.matches)
+
+    # Host/numpy records fall back to float32 rows.
+    host_rec = matcher.retain_for_matching(host_descriptors(f0))
+    assert isinstance(host_rec, np.ndarray) and host_rec.dtype == np.float32
