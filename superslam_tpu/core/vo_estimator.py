@@ -497,7 +497,21 @@ class VoEstimator:
                 if self._stop_worker and not self._queue:
                     return
                 msg = self._queue.popleft()
-            self._process_keyframe(msg)
+            try:
+                self._process_keyframe(msg)
+            except Exception:  # noqa: BLE001 — worker must survive one bad KF
+                # A failed keyframe (descriptor provider device error, solver
+                # blowup) must not kill loop closure for the rest of the run
+                # — degrade to "this keyframe never entered the loop DB"
+                # (SURVEY §5.3 failure-handling posture).
+                import logging
+                import traceback
+
+                logging.getLogger("superslam").error(
+                    "loop worker: keyframe %d failed:\n%s",
+                    msg.keyframe_id,
+                    traceback.format_exc(),
+                )
 
     def _process_keyframe(self, msg: KeyframeMsg) -> None:
         self._global_graph.add_keyframe(

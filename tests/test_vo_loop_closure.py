@@ -108,6 +108,35 @@ def test_async_worker_detects_loop():
     vo.stop_loop_worker()  # idempotent
 
 
+def test_worker_survives_descriptor_provider_failure():
+    """A keyframe whose lazy descriptor source raises (device error,
+    provider bug) must not kill the loop worker: the keyframe is dropped
+    from the loop DB and later keyframes still process (SURVEY §5.3)."""
+    calib = make_calib()
+    lms = world_landmarks()
+    matcher = IdentityMatcher(len(lms))
+    vo = VoEstimator(matcher, calib)
+    vo.set_keyframe_params(0.8, 1)  # keyframe every frame
+    vo.enable_loop_closure(make_loop_closer(matcher, calib), async_=True)
+
+    def boom():
+        raise RuntimeError("synthetic descriptor failure")
+
+    # First keyframe: failing provider.
+    f0 = make_frame(Pose3(), lms, calib, 0.0)
+    vo.track(f0, descriptor_provider=boom)
+    # Force more keyframes with healthy descriptors.
+    for i in range(1, 4):
+        f = make_frame(Pose3(t=np.array([0.8 * i, 0, 0])), lms, calib, 0.1 * i)
+        vo.track(f, place_desc(i))
+    vo.stop_loop_worker()
+    assert vo._worker is not None and not vo._worker.is_alive()
+    recs = vo._loop_closer.db.records()
+    # The poisoned keyframe never entered the DB; the healthy ones did.
+    assert len(recs) >= 1
+    assert all(r.global_descriptor is not None for r in recs)
+
+
 def test_corrected_trajectory_falls_back_to_live_vo_without_loop():
     calib = make_calib()
     lms = world_landmarks()
