@@ -2,10 +2,11 @@
 
 Equivalent of ``/root/reference/include/KeyframeDatabase.h:17-43``. The
 authoritative optimized pose lives in the GlobalPoseGraph; ``pose_at_insert``
-is a cached seed for geometric verification. Descriptors here are HOST
-arrays [N, D]: a loop candidate is re-matched with the matcher and
-back-projected, so descriptors are copied off-device once per keyframe
-(the reference does the same D2H at ``src/VoEstimator.cc:106``).
+is a cached seed for geometric verification. Record descriptors are either
+device-resident PaddedFeatures (recent keyframes — loop verification
+consumes HBM buffers with no host round trip) or host float32 rows [N, D]
+(older records demoted under the HBM budget; the reference copies
+off-device eagerly per keyframe instead, ``src/VoEstimator.cc:106``).
 """
 
 from __future__ import annotations
@@ -33,13 +34,39 @@ class KeyframeRecord:
 
 
 class KeyframeDatabase:
-    def __init__(self) -> None:
+    def __init__(self, device_record_budget: int | None = None) -> None:
         self._records: list[KeyframeRecord] = []
         self._id_to_index: dict[int, int] = {}
+        # HBM budget for device-resident record descriptors (~0.62 MB each
+        # at K=600): the database lives for the whole run, so without a cap
+        # a multi-hour session would grow device memory linearly in
+        # keyframes. Beyond the budget the OLDEST device record is demoted
+        # to host float32 rows (one deferred D2H — exactly what the
+        # reference pays eagerly per keyframe, src/VoEstimator.cc:106);
+        # demoted candidates still verify via the matcher's host path.
+        if device_record_budget is None:
+            from ..utils.env import env_int
+
+            device_record_budget = env_int("SUPERSLAM_DEVICE_KF_RECORDS", 512)
+        self._device_budget = max(0, int(device_record_budget))
+        self._device_resident: list[KeyframeRecord] = []
+
+    @staticmethod
+    def _is_device(rec: KeyframeRecord) -> bool:
+        d = rec.descriptors_left
+        return hasattr(d, "desc") and not isinstance(
+            getattr(d, "desc"), np.ndarray
+        )
 
     def add(self, rec: KeyframeRecord) -> None:
         self._id_to_index[rec.keyframe_id] = len(self._records)
         self._records.append(rec)
+        if self._is_device(rec):
+            self._device_resident.append(rec)
+            while len(self._device_resident) > self._device_budget:
+                old = self._device_resident.pop(0)
+                d = old.descriptors_left
+                old.descriptors_left = np.asarray(d.desc, np.float32)[: d.n]
 
     def get(self, keyframe_id: int) -> KeyframeRecord:
         return self._records[self._id_to_index[keyframe_id]]

@@ -71,6 +71,21 @@ class LazySlotFeatures:
         return int(self._kpts_b.shape[1])
 
 
+def keyframe_world_arrays(frame, calib, capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """(K, 3) world points + (K,) depth-validity for a newly adopted
+    keyframe, aligned with the device keypoint prefix ordering — the upload
+    payload both device-tracking pipelines share (stereo + RGB-D). Must run
+    after the estimator adopted the frame so frame.pose is the
+    window-smoothed Twc the host tracker would backproject through."""
+    xw = np.zeros((capacity, 3), np.float32)
+    depth_ok = np.zeros((capacity,), bool)
+    idx = np.flatnonzero(frame.has_depth[:capacity])
+    if idx.size:
+        xw[idx] = frame.backproject_all(calib, idx).astype(np.float32)
+        depth_ok[idx] = True
+    return xw, depth_ok
+
+
 def host_descriptors(feats: PaddedFeatures | np.ndarray | None) -> np.ndarray:
     """Materialize float32 host rows [N, D] (the reference's
     descriptors_to_host, one D2H per keyframe)."""

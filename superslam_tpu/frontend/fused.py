@@ -168,18 +168,10 @@ class FusedStereoPipeline:
             self._kf_valid = jnp.asarray(np.arange(self.K) < feats.n)
 
     def set_keyframe_world(self, frame: StereoFrame) -> None:
-        """Upload the new keyframe's world points for on-device tracking.
+        """Upload the new keyframe's world points for on-device tracking
+        (see features.keyframe_world_arrays for the grounding contract)."""
+        from .features import keyframe_world_arrays
 
-        Must run after the estimator adopted `frame` (its pose is then the
-        window-smoothed Twc — the same pose the host tracker's
-        backproject_all would use, so device and host solves are grounded
-        identically). Rows align with the device keypoint prefix ordering.
-        """
-        xw = np.zeros((self.K, 3), np.float32)
-        depth_ok = np.zeros((self.K,), bool)
-        idx = np.flatnonzero(frame.has_depth[: self.K])
-        if idx.size:
-            xw[idx] = frame.backproject_all(self.calib, idx).astype(np.float32)
-            depth_ok[idx] = True
+        xw, depth_ok = keyframe_world_arrays(frame, self.calib, self.K)
         self._kf_xw = jnp.asarray(xw)
         self._kf_depth_ok = jnp.asarray(depth_ok)

@@ -171,13 +171,9 @@ class FusedRgbdPipeline:
 
     def set_keyframe_world(self, frame: StereoFrame) -> None:
         """Upload the new keyframe's world points (sensor-depth backprojected
-        through the smoothed Twc) for on-device mono tracking. Rows align
-        with the device keypoint prefix ordering."""
-        xw = np.zeros((self.K, 3), np.float32)
-        depth_ok = np.zeros((self.K,), bool)
-        idx = np.flatnonzero(frame.has_depth[: self.K])
-        if idx.size:
-            xw[idx] = frame.backproject_all(self.calib, idx).astype(np.float32)
-            depth_ok[idx] = True
+        through the smoothed Twc) for on-device mono tracking."""
+        from .features import keyframe_world_arrays
+
+        xw, depth_ok = keyframe_world_arrays(frame, self.calib, self.K)
         self._kf_xw = jnp.asarray(xw)
         self._kf_depth_ok = jnp.asarray(depth_ok)

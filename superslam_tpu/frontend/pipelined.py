@@ -65,6 +65,47 @@ class _AsyncPacked:
         return self._host
 
 
+def _track_statics(calib) -> dict:
+    """Static solver parameters shared by both pipelined trackers'
+    device-tracking dispatch (one definition — they must never diverge)."""
+    from ..core.factors import disp_sigma_px, stereo_cond_depth_m
+    from ..utils.env import env_int
+
+    return {
+        "calib": (
+            float(calib.fx),
+            float(calib.fy),
+            float(calib.cx),
+            float(calib.cy),
+            float(calib.baseline),
+        ),
+        "min_matches": env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10),
+        "sigma_px": 10.0,  # FrameTracker.cc:24
+        "disp_sigma0": float(disp_sigma_px()),
+        "disp_cond": float(calib.bf) / float(stereo_cond_depth_m()),
+    }
+
+
+def _decode_device_pose(row: np.ndarray) -> Pose3:
+    """One TRACK_COLS row -> Twc (see ops.frontend_step.track_scan)."""
+    return Pose3(
+        R=row[:9].astype(np.float64).reshape(3, 3),
+        t=row[9:12].astype(np.float64),
+    )
+
+
+def _pose_carry(pose: Pose3, rel: Pose3):
+    """Host poses -> the device tracking carry (R, t, rel_R, rel_t) f32."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(pose.R, jnp.float32),
+        jnp.asarray(pose.t, jnp.float32),
+        jnp.asarray(rel.R, jnp.float32),
+        jnp.asarray(rel.t, jnp.float32),
+    )
+
+
 class _AsyncPose:
     """Async D2H handle over the small (S, TRACK_COLS) f32 pose block."""
 
@@ -127,22 +168,18 @@ class PipelinedStereoTracker:
         # uploaded by drain_one at adoption time.
         self.device_tracking = bool(device_tracking)
         self._carry = None  # (R, t, rel_R, rel_t) device arrays
+        # Padded flush tails run the duplicate frames through the pose scan,
+        # corrupting the constant-velocity carry (rel collapses to identity
+        # when the same frame is solved twice) — rebuild it from the host's
+        # last pose/rel before the next dispatch instead.
+        self._carry_stale = True
         if self.device_tracking:
-            from ..core.factors import disp_sigma_px, stereo_cond_depth_m
-            from ..utils.env import env_int
-
-            c = pipeline.calib
-            self._trk_calib = (
-                float(c.fx),
-                float(c.fy),
-                float(c.cx),
-                float(c.cy),
-                float(c.baseline),
-            )
-            self._trk_min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
-            self._trk_sigma_px = 10.0  # FrameTracker.cc:24
-            self._trk_disp_sigma0 = float(disp_sigma_px())
-            self._trk_disp_cond = float(c.bf) / float(stereo_cond_depth_m())
+            s = _track_statics(pipeline.calib)
+            self._trk_calib = s["calib"]
+            self._trk_min_matches = s["min_matches"]
+            self._trk_sigma_px = s["sigma_px"]
+            self._trk_disp_sigma0 = s["disp_sigma0"]
+            self._trk_disp_cond = s["disp_cond"]
         # In-flight frames can lag up to depth*batch insertions behind the
         # newest keyframe; retain enough keyframes that their precomputed
         # matches stay resolvable (an eviction forces a host re-match, which
@@ -209,10 +246,9 @@ class PipelinedStereoTracker:
         if self.device_tracking:
             from ..ops.frontend_step import fused_stereo_track_step_multi
 
-            if self._carry is None:
-                eye = jnp.eye(3, dtype=jnp.float32)
-                zero = jnp.zeros((3,), jnp.float32)
-                self._carry = (eye, zero, eye, zero)
+            if self._carry is None or self._carry_stale:
+                self._carry = _pose_carry(self._last_pose, self._last_rel)
+                self._carry_stale = False
             packed, desc, kpts, valid, track_out, self._carry = (
                 fused_stereo_track_step_multi(
                     pl.sp_params,
@@ -240,6 +276,8 @@ class PipelinedStereoTracker:
                 )
             )
             pose_fut = _AsyncPose(track_out)
+            if n_real < self.batch:
+                self._carry_stale = True  # duplicates polluted the carry
         else:
             from ..ops.frontend_step import fused_stereo_step_multi
 
@@ -292,11 +330,7 @@ class PipelinedStereoTracker:
             frame, kf_matches = self._decode(item)
         device_pose = None
         if item.pose is not None and item.kf_ref_id is not None:
-            row = item.pose.result()[item.slot]
-            device_pose = Pose3(
-                R=row[:9].astype(np.float64).reshape(3, 3),
-                t=row[9:12].astype(np.float64),
-            )
+            device_pose = _decode_device_pose(item.pose.result()[item.slot])
         provider = None
         if self.loop_descriptor_fn is not None and item.left_dev is not None:
             fn, dev = self.loop_descriptor_fn, item.left_dev

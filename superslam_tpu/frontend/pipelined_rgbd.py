@@ -20,7 +20,13 @@ from ..core.vo_estimator import VoEstimator
 from ..geometry.se3 import Pose3
 from ..utils.profiler import profile_scope
 from .fused_rgbd import FusedRgbdPipeline
-from .pipelined import _AsyncPacked, _AsyncPose
+from .pipelined import (
+    _AsyncPacked,
+    _AsyncPose,
+    _decode_device_pose,
+    _pose_carry,
+    _track_statics,
+)
 
 
 @dataclass
@@ -72,19 +78,12 @@ class PipelinedRgbdTracker:
         # estimator's coordinates.
         self.device_tracking = bool(device_tracking)
         self._carry = None
+        self._carry_stale = True  # see frontend.pipelined: padded-tail reset
         if self.device_tracking:
-            from ..utils.env import env_int
-
-            c = pipeline.calib
-            self._trk_calib = (
-                float(c.fx),
-                float(c.fy),
-                float(c.cx),
-                float(c.cy),
-                float(c.baseline),
-            )
-            self._trk_min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
-            self._trk_sigma_px = 10.0  # FrameTracker.cc:24
+            s = _track_statics(pipeline.calib)
+            self._trk_calib = s["calib"]
+            self._trk_min_matches = s["min_matches"]
+            self._trk_sigma_px = s["sigma_px"]
             d = pipeline.dist_coeffs
             if d is None:
                 self._trk_dist = None
@@ -134,10 +133,9 @@ class PipelinedRgbdTracker:
         if self.device_tracking:
             from ..ops.rgbd_step import fused_rgbd_track_step_multi
 
-            if self._carry is None:
-                eye = jnp.eye(3, dtype=jnp.float32)
-                zero = jnp.zeros((3,), jnp.float32)
-                self._carry = (eye, zero, eye, zero)
+            if self._carry is None or self._carry_stale:
+                self._carry = _pose_carry(self._last_pose, self._last_rel)
+                self._carry_stale = False
             packed, desc, kpts, valid, track_out, self._carry = (
                 fused_rgbd_track_step_multi(
                     pl.sp_params,
@@ -163,6 +161,8 @@ class PipelinedRgbdTracker:
                 )
             )
             pose_fut = _AsyncPose(track_out)
+            if n_real < self.batch:
+                self._carry_stale = True  # duplicates polluted the carry
         else:
             packed, desc, kpts, valid = fused_rgbd_step_multi(
                 pl.sp_params,
@@ -199,11 +199,7 @@ class PipelinedRgbdTracker:
             frame, kf_matches = self._decode(item)
         device_pose = None
         if item.pose is not None and item.kf_ref_id is not None:
-            row = item.pose.result()[item.slot]
-            device_pose = Pose3(
-                R=row[:9].astype(np.float64).reshape(3, 3),
-                t=row[9:12].astype(np.float64),
-            )
+            device_pose = _decode_device_pose(item.pose.result()[item.slot])
         provider = None
         if self.loop_descriptor_fn is not None and item.gray_dev is not None:
             fn, dev = self.loop_descriptor_fn, item.gray_dev

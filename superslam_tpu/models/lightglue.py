@@ -108,7 +108,12 @@ def _pallas_attn_wanted() -> bool:
     """Whether attention routes through the fused VMEM kernel
     (ops/pallas/attention.py). Default: on for TPU backends, off on CPU
     (where the XLA path is the oracle and interpret-mode Pallas is orders
-    of magnitude slower). SUPERSLAM_PALLAS_ATTN=0/1 overrides."""
+    of magnitude slower). SUPERSLAM_PALLAS_ATTN=0/1 overrides.
+
+    Read at TRACE time: the choice is baked into each compiled program, so
+    set the env var before the first matcher call — flipping it later only
+    affects programs compiled for new shapes (same contract as
+    SUPERSLAM_PALLAS_CONV and SUPERSLAM_DEVICE_TRACKER's backend probe)."""
     import os
 
     v = os.environ.get("SUPERSLAM_PALLAS_ATTN")

@@ -76,7 +76,56 @@ def masked_attention(
 ) -> jnp.ndarray:
     """Drop-in replacement for the XLA masked SDPA in models.lightglue
     (same masking semantics: softmax over keys with invalid keys at -1e9).
-    Returns (B, H, N, Dh) in v.dtype."""
+    Returns (B, H, N, Dh) in v.dtype.
+
+    Differentiable: pallas_call has no reverse-mode rule, so the float core
+    (_sdpa) carries a custom VJP that recomputes the attention weights in
+    plain XLA for the backward pass (flash-style rematerialization — the
+    K x K probabilities are never saved as residuals). This keeps the
+    LightGlue fine-tuning step (parallel.training) working on TPU where
+    this kernel is the default forward route."""
+    bias = jnp.where(key_mask, 0.0, NEG).astype(jnp.float32)  # (B, N)
+    return _sdpa(q, k, v, bias, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sdpa(q, k, v, bias, interpret=False):
+    return _sdpa_fwd_pallas(q, k, v, bias, interpret)
+
+
+def _sdpa_fwd(q, k, v, bias, interpret):
+    return _sdpa_fwd_pallas(q, k, v, bias, interpret), (q, k, v, bias)
+
+
+def _sdpa_bwd(interpret, res, g):
+    """XLA-math SDPA gradients (probabilities rematerialized in f32)."""
+    q, k, v, bias = res
+    dh = q.shape[-1]
+    scale = 1.0 / float(dh) ** 0.5
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    logits = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale + bias[:, None, None, :]
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhij,bhid->bhjd", p, gf)
+    dp = jnp.einsum("bhid,bhjd->bhij", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhij,bhjd->bhid", ds, kf) * scale
+    dk = jnp.einsum("bhij,bhid->bhjd", ds, qf) * scale
+    dbias = jnp.sum(ds, axis=(1, 2))  # (B, N); upstream where() zeroes it
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dbias.astype(bias.dtype),
+    )
+
+
+_sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)
+
+
+def _sdpa_fwd_pallas(q, k, v, bias, interpret):
     b, h, n, dh = q.shape
     scale = 1.0 / float(dh) ** 0.5
     n_pad = _round_up(n, 128)
@@ -85,10 +134,10 @@ def masked_attention(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-        key_mask = jnp.pad(key_mask, [(0, 0), (0, n_pad - n)])
+        bias = jnp.pad(bias, [(0, 0), (0, n_pad - n)], constant_values=NEG)
     # (B, 1, n_pad): the singleton row keeps the block's second-minor dim
     # equal to the array dim (Mosaic's tiling rule for sub-8 blocks).
-    bias = jnp.where(key_mask, 0.0, NEG).astype(jnp.float32)[:, None, :]
+    bias = bias[:, None, :]
 
     out = pl.pallas_call(
         functools.partial(_sdpa_kernel, scale=scale),

@@ -150,7 +150,7 @@ class ShardedCosineIndex:
         if self._size == 0 or self._size <= exclude_recent:
             return []
         k = min(top_k if top_k > 0 else self._size, self.capacity)
-        scores, ids = _sharded_query(
+        scores, ids, ins = _sharded_query(
             self.mesh,
             self._axes,
             self._db,
@@ -163,8 +163,15 @@ class ShardedCosineIndex:
         )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
+        ins = np.asarray(ins)
         keep = np.isfinite(scores)
-        return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
+        scores, ids, ins = scores[keep], ids[keep], ins[keep]
+        # Final selection over the <= n_shards*k gathered winners happens
+        # HERE so ties break by insertion order exactly like the host
+        # index's stable argsort (a device top_k over the shard-major
+        # gather would rank tied shard-0 rows above older shard-1 rows).
+        order = np.lexsort((ins, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axes", "top_k"))
@@ -177,7 +184,7 @@ def _sharded_query(mesh, axes, db, ids, query, size, exclude_recent, min_score, 
     shard_rows = db.shape[0] // n_shards
     k_local = min(top_k, shard_rows)
 
-    def local(db_s, ids_s, q_s):
+    def local(db_s, ids_s, q_s):  # winners + insertion idx; ties on host
         # Flat shard index across all mesh axes.
         shard = jax.lax.axis_index(axes)
         scores = db_s @ q_s  # (shard_rows,)
@@ -190,14 +197,14 @@ def _sharded_query(mesh, axes, db, ids, query, size, exclude_recent, min_score, 
         s, i = jax.lax.top_k(masked, k_local)  # per-shard winners
         cand_s = jax.lax.all_gather(s, axes, tiled=True)  # (n*k_local,)
         cand_id = jax.lax.all_gather(ids_s[i], axes, tiled=True)
-        gs, gi = jax.lax.top_k(cand_s, top_k)  # replicated global top-k
-        return gs, cand_id[gi]
+        cand_ins = jax.lax.all_gather(ins[i], axes, tiled=True)
+        return cand_s, cand_id, cand_ins
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axes, None), P(axes), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         # The outputs ARE replicated (all_gather + identical top_k on every
         # shard) but the static replication checker can't prove it.
         check_vma=False,

@@ -54,3 +54,44 @@ def test_frame_backprojection():
     np.testing.assert_allclose(
         f.backproject_all(calib, np.array([0])), [X_cam + [2, 0, 0]], atol=1e-9
     )
+
+
+def test_device_record_budget_demotes_oldest_to_host():
+    """Beyond SUPERSLAM_DEVICE_KF_RECORDS the database demotes the OLDEST
+    device-resident record's descriptors to host float32 rows (bounding
+    HBM growth over long runs); newer records stay on device and demoted
+    ones still match via the host path."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.core.keyframes import KeyframeDatabase, KeyframeRecord
+    from superslam_tpu.frontend.features import PaddedFeatures
+
+    db = KeyframeDatabase(device_record_budget=2)
+    K = 8
+
+    def device_rec(i):
+        return KeyframeRecord(
+            keyframe_id=i,
+            descriptors_left=PaddedFeatures(
+                kpts=jnp.zeros((K, 2)), desc=jnp.full((K, 256), float(i)),
+                n=4, width=32, height=32,
+            ),
+        )
+
+    for i in range(4):
+        db.add(device_rec(i))
+    # Records 0 and 1 demoted to float32 host rows truncated to n.
+    for i in (0, 1):
+        d = db.get(i).descriptors_left
+        assert isinstance(d, np.ndarray) and d.dtype == np.float32
+        assert d.shape == (4, 256) and np.all(d == float(i))
+    for i in (2, 3):
+        assert not isinstance(db.get(i).descriptors_left, np.ndarray)
+
+    # Host records never enter the device ledger.
+    db2 = KeyframeDatabase(device_record_budget=1)
+    db2.add(KeyframeRecord(keyframe_id=0, descriptors_left=np.zeros((4, 256))))
+    db2.add(device_rec(1))
+    db2.add(device_rec(2))
+    assert isinstance(db2.get(1).descriptors_left, np.ndarray)
+    assert not isinstance(db2.get(2).descriptors_left, np.ndarray)

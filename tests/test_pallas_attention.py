@@ -68,6 +68,34 @@ def test_masked_attention_bf16():
     )
 
 
+def test_masked_attention_gradients_match_xla():
+    """The custom VJP (XLA-rematerialized backward) must match autodiff
+    through the plain XLA attention — without it, jax.grad through the
+    Pallas route fails entirely and the TPU fine-tuning step crashes."""
+    import jax
+
+    from superslam_tpu.ops.pallas import attention as pattn
+
+    rng = np.random.default_rng(3)
+    b, h, n, dh = 1, 2, 24, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.25)
+    w = jnp.asarray(rng.standard_normal((b, h, n, dh)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(masked_attention(q, k, v, mask, interpret=True) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, mask) * w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 def test_lightglue_forward_pallas_route_matches_xla(monkeypatch):
     """The full matcher with the Pallas route forced on (interpret mode via
     monkeypatched masked_attention) must reproduce the XLA route's

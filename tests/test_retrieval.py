@@ -53,6 +53,28 @@ def test_sharded_index_matches_host():
         )
 
 
+def test_sharded_index_breaks_ties_by_insertion_like_host():
+    """Duplicate descriptors (static scenes) land on DIFFERENT shards under
+    the round-robin layout; the winner must still be the OLDEST insertion,
+    exactly like the host index's stable sort — pins the host-side
+    lexsort over the gathered per-shard winners."""
+    from superslam_tpu.ops.retrieval import ShardedCosineIndex
+    from superslam_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    host = CosineDescriptorIndex()
+    shard = ShardedCosineIndex(make_mesh(8), capacity=32, dim=16)
+    d_dup = rng.standard_normal(16).astype(np.float32)
+    for i in range(12):
+        d = d_dup if i in (1, 6, 9) else rng.standard_normal(16).astype(np.float32)
+        host.add(200 + i, d)
+        shard.add(200 + i, d)
+    h = host.query(d_dup, 0, 4, 0.5)
+    s = shard.query(d_dup, 0, 4, 0.5)
+    assert [c.keyframe_id for c in h] == [i for i, _ in s]
+    assert [i for i, _ in s][:3] == [201, 206, 209]  # insertion order on ties
+
+
 def test_sharded_index_empty_and_excluded():
     from superslam_tpu.ops.retrieval import ShardedCosineIndex
     from superslam_tpu.parallel.mesh import make_mesh
