@@ -83,7 +83,7 @@ def _front_convs_pallas(
     from ..ops.pallas.conv import (
         PAD_ROWS,
         conv1a1b_chw,
-        conv3x3_chw,
+        conv_pair_chw,
         pool2_canvas,
         to_canvas,
     )
@@ -107,16 +107,16 @@ def _front_convs_pallas(
         out_dtype=compute_dtype,
     )
     x = lane_pad(pool2_canvas(x))
-    for name in ("conv2a", "conv2b"):
-        x = conv3x3_chw(
-            x,
-            params[f"{name}.weight"],
-            params[f"{name}.bias"],
-            relu=True,
-            w_img=w // 2,
-            interpret=interpret,
-            out_dtype=compute_dtype,
-        )
+    x = conv_pair_chw(
+        x,
+        params["conv2a.weight"],
+        params["conv2a.bias"],
+        params["conv2b.weight"],
+        params["conv2b.bias"],
+        w_img=w // 2,
+        interpret=interpret,
+        out_dtype=compute_dtype,
+    )
     x = pool2_canvas(x)
     # Slice to the EXACT quarter-res extent: from here the XLA stages see
     # the same canvas as the pure-XLA path (SAME padding semantics and all).
@@ -214,6 +214,7 @@ def select_keypoints(
     true_width: int | None = None,
     true_height: int | None = None,
     use_pallas: bool = False,
+    nms_radius: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device top-K keypoint selection + nearest-cell descriptor gather.
 
@@ -221,6 +222,8 @@ def select_keypoints(
     (src/SuperPoint.cc:696-750). Static output shapes: exactly K rows per
     image with a validity mask (score > threshold). Valid rows always form a
     prefix (top_k sorts scores descending and suppressed cells score 0).
+    ``nms_radius`` is accepted for call-site symmetry with superpoint_dense
+    but does not change the selection.
 
     Args:
       scores: (B, H, W) f32 NMS'd heatmap (H, W may include right/bottom
@@ -251,7 +254,9 @@ def select_keypoints(
     flat = scores.reshape(b, h * w)
     # approx_max_k is the TPU-native top-k (hardware-binned); recall target
     # 0.99 on an NMS'd heatmap loses essentially nothing, and exact top_k's
-    # full sort costs ~2.5 ms at H*W ~ 500k.
+    # full sort costs ~2.5 ms at H*W ~ 500k. (A 4x4 block-max pre-reduction
+    # was tried and measured SLOWER: the block relayout / winner-position
+    # recovery costs more than the saved top-k work.)
     top_scores, top_idx = jax.lax.approx_max_k(
         flat, max_keypoints, recall_target=0.99
     )
@@ -318,6 +323,7 @@ def superpoint_extract(
         remove_borders,
         true_width,
         true_height,
+        nms_radius=nms_radius,
     )
 
 

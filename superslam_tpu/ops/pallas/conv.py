@@ -79,15 +79,22 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, wp, c_out, relu, w_img, n_blocks
         cat = jnp.concatenate(
             [xb[:, 7 + r + dy, :] for dy in range(3)], axis=0
         )  # (3C, Wp)
-        acc = jnp.zeros((c_out, wp), jnp.float32)
-        for dx in range(3):
-            z = jax.lax.dot_general(
-                w_ref[dx],  # (C_out, 3C)
-                cat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + _shift_out(z, dx)
+        # ONE (3*C_out, 3C) x (3C, Wp) matmul per row: the three dx weight
+        # matrices ride the M axis (3*C_out=192+ fills the MXU rows; three
+        # separate M=64 matmuls pay the systolic fill 3x), then the per-dx
+        # f32 partials are sliced at 8-aligned sublane offsets and
+        # lane-rotated into place.
+        z3 = jax.lax.dot_general(
+            w_ref[:],  # (3*C_out, 3C)
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_out], 0)
+            + z3[c_out : 2 * c_out]
+            + _shift_out(z3[2 * c_out :], 2)
+        )
         y = acc + b_ref[:]  # bias (C_out, 1) broadcasts over lanes
         if relu:
             y = jnp.maximum(y, 0.0)
@@ -114,15 +121,17 @@ def _conv1a1b_kernel(
     # conv1a rows for local rows 7..16 (image rows 8i-1 .. 8i+8).
     a_rows = []
     for l in range(7, 17):
-        acc = jnp.zeros((c_mid, wp), jnp.float32)
-        for dx in range(3):
-            z = jax.lax.dot_general(
-                wa_ref[dx],  # (C_mid, 3)
-                xr[l - 1 : l + 2, :],  # (3, Wp)
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + _shift_out(z, dx)
+        z3 = jax.lax.dot_general(
+            wa_ref[:],  # (3*C_mid, 3): dx-stacked on M
+            xr[l - 1 : l + 2, :],  # (3, Wp)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_mid], 0)
+            + z3[c_mid : 2 * c_mid]
+            + _shift_out(z3[2 * c_mid :], 2)
+        )
         a = jnp.maximum(acc + ba_ref[:], 0.0)
         if col1 is None:
             col1 = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
@@ -136,18 +145,133 @@ def _conv1a1b_kernel(
 
     for r in range(_TH):
         cat = jnp.concatenate(a_rows[r : r + 3], axis=0)  # (3*C_mid, Wp)
-        acc = jnp.zeros((c_out, wp), jnp.float32)
-        for dx in range(3):
-            z = jax.lax.dot_general(
-                wb_ref[dx],  # (C_out, 3*C_mid)
-                cat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + _shift_out(z, dx)
+        z3 = jax.lax.dot_general(
+            wb_ref[:],  # (3*C_out, 3*C_mid): dx-stacked on M
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_out], 0)
+            + z3[c_out : 2 * c_out]
+            + _shift_out(z3[2 * c_out :], 2)
+        )
         y = jnp.maximum(acc + bb_ref[:], 0.0)
         y = jnp.where(jnp.logical_and(col1[:c_out] < w_img, interior), y, 0.0)
         o_ref[0, :, r, :] = y.astype(o_ref.dtype)
+
+
+def _conv_pair_kernel(
+    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, *, wp, c_mid, c_out, w_img, n_blocks, cdt
+):
+    """Fused conv_a (C_in->C_mid) + ReLU + conv_b (C_mid->C_out) + ReLU for
+    C_in-channel canvases (the conv2a+conv2b pair). Same structure as
+    _conv1a1b_kernel but the first conv reads a multi-channel block; the ten
+    intermediate rows the stripe needs live only in VMEM, so the C_mid
+    half-res activation map never exists in HBM and the block DMA happens
+    once for the pair instead of twice."""
+    i = pl.program_id(1)
+    interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
+    xb = x_ref[0]  # (C_in, IN_ROWS, Wp)
+    col = None
+
+    a_rows = []
+    for l in range(7, 17):
+        cat = jnp.concatenate(
+            [xb[:, l - 1 + dy, :] for dy in range(3)], axis=0
+        )  # (3*C_in, Wp)
+        z3 = jax.lax.dot_general(
+            wa_ref[:],  # (3*C_mid, 3*C_in): dx-stacked on M
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_mid], 0)
+            + z3[c_mid : 2 * c_mid]
+            + _shift_out(z3[2 * c_mid :], 2)
+        )
+        a = jnp.maximum(acc + ba_ref[:], 0.0)
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
+        row = _TH * (i - 1) + l
+        row_ok = jnp.logical_and(row >= PAD_ROWS, row < _TH * (n_blocks - 1))
+        a = jnp.where(jnp.logical_and(col < w_img, row_ok), a, 0.0)
+        a_rows.append(a.astype(cdt))
+
+    for r in range(_TH):
+        cat = jnp.concatenate(a_rows[r : r + 3], axis=0)  # (3*C_mid, Wp)
+        z3 = jax.lax.dot_general(
+            wb_ref[:],  # (3*C_out, 3*C_mid)
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_out], 0)
+            + z3[c_out : 2 * c_out]
+            + _shift_out(z3[2 * c_out :], 2)
+        )
+        y = jnp.maximum(acc + bb_ref[:], 0.0)
+        y = jnp.where(jnp.logical_and(col[:c_out] < w_img, interior), y, 0.0)
+        o_ref[0, :, r, :] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("w_img", "interpret", "out_dtype"))
+def conv_pair_chw(
+    x: jnp.ndarray,  # (B, C_in, Hp, Wp) canvas
+    wa: jnp.ndarray,  # (3, 3, C_in, C_mid)
+    ba: jnp.ndarray,
+    wb: jnp.ndarray,  # (3, 3, C_mid, C_out)
+    bb: jnp.ndarray,
+    *,
+    w_img: int,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Two fused 3x3 SAME convs (+ReLU each) -> (B, C_out, Hp, Wp) canvas."""
+    cdt = jnp.float32 if interpret else jnp.bfloat16
+    bsz, c_in, hp, wp = x.shape
+    assert wp % 128 == 0 and hp % _TH == 0 and hp >= _IN_ROWS, x.shape
+    c_mid, c_out = wa.shape[3], wb.shape[3]
+    assert c_out <= c_mid, "kernel reuses the (C_mid, Wp) column iota"
+    n_blocks = hp // _TH
+
+    wak = wa.transpose(1, 3, 0, 2).reshape(3 * c_mid, 3 * c_in).astype(cdt)
+    wbk = wb.transpose(1, 3, 0, 2).reshape(3 * c_out, 3 * c_mid).astype(cdt)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_pair_kernel,
+            wp=wp,
+            c_mid=c_mid,
+            c_out=c_out,
+            w_img=w_img,
+            n_blocks=n_blocks,
+            cdt=cdt,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, c_out, hp, wp), out_dtype),
+        grid=(bsz, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(c_in), pl.Element(_IN_ROWS), pl.Element(wp)),
+                lambda bb_, i: (bb_, 0, _TH * jnp.maximum(i - 1, 0), 0),
+            ),
+            pl.BlockSpec((3 * c_mid, 3 * c_in), lambda bb_, i: (0, 0)),
+            pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
+            pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
+            pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c_out, _TH, wp), lambda bb_, i: (bb_, 0, i, 0)),
+        interpret=interpret,
+    )(
+        x.astype(cdt),
+        wak,
+        ba.reshape(c_mid, 1).astype(jnp.float32),
+        wbk,
+        bb.reshape(c_out, 1).astype(jnp.float32),
+    )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("w_img", "interpret", "out_dtype"))
@@ -174,8 +298,10 @@ def conv1a1b_chw(
         # fold the 1/255 normalization into the conv1a weights
         wa = wa / 255.0
         x = x.astype(cdt)
-    wak = wa.transpose(1, 3, 0, 2).reshape(3, c_mid, 3).astype(jnp.float32)
-    wbk = wb.transpose(1, 3, 0, 2).reshape(3, c_out, 3 * c_mid).astype(cdt)
+    # (3dx*C_mid, 3dy) / (3dx*C_out, 3dy*C_mid): dx stacked on the M axis so
+    # each output row is ONE matmul (see _conv_kernel).
+    wak = wa.transpose(1, 3, 0, 2).reshape(3 * c_mid, 3).astype(jnp.float32)
+    wbk = wb.transpose(1, 3, 0, 2).reshape(3 * c_out, 3 * c_mid).astype(cdt)
 
     out = pl.pallas_call(
         functools.partial(
@@ -194,9 +320,9 @@ def conv1a1b_chw(
                 (pl.Element(1), pl.Element(1), pl.Element(_IN_ROWS), pl.Element(wp)),
                 lambda bb_, i: (bb_, 0, _TH * jnp.maximum(i - 1, 0), 0),
             ),
-            pl.BlockSpec((3, c_mid, 3), lambda bb_, i: (0, 0, 0)),
+            pl.BlockSpec((3 * c_mid, 3), lambda bb_, i: (0, 0)),
             pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((3, c_out, 3 * c_mid), lambda bb_, i: (0, 0, 0)),
+            pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
             pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, c_out, _TH, wp), lambda bb_, i: (bb_, 0, i, 0)),
@@ -233,15 +359,15 @@ def conv3x3_chw(
     c_out = w.shape[3]
     n_blocks = hp // _TH
 
-    # (3dx, C_out, 3dy*C): per-dx matrices contracting the (dy, ci) axis,
-    # matching _dy_cat's sublane order.
+    # (3dx*C_out, 3dy*C): dx stacked on the M axis (one matmul per output
+    # row), K contracting the (dy, ci) axis in the row-concat's sublane order.
     wk = (
         w.transpose(1, 3, 0, 2)  # (3dx, C_out, 3dy, C)
-        .reshape(3, c_out, 3 * c_in)
+        .reshape(3 * c_out, 3 * c_in)
         .astype(cdt)
     )
     kernel = _conv_kernel
-    wspec = pl.BlockSpec((3, c_out, 3 * c_in), lambda bb, i: (0, 0, 0))
+    wspec = pl.BlockSpec((3 * c_out, 3 * c_in), lambda bb, i: (0, 0))
 
     bias = b.reshape(c_out, 1).astype(jnp.float32)
 

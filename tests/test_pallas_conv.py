@@ -60,6 +60,36 @@ def test_conv3x3_matches_xla(B, C, H, W, CO, wimg):
     assert err < 0.02, err
 
 
+def test_conv_pair_matches_two_convs():
+    """Fused conv_a+conv_b kernel vs two XLA SAME convs on a canvas."""
+    from superslam_tpu.ops.pallas.conv import conv_pair_chw
+
+    B, C, H, W, wimg = 2, 64, 16, 256, 250
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    x[:, :, wimg:, :] = 0.0
+    wa = (rng.normal(size=(3, 3, C, 64)) * 0.1).astype(np.float32)
+    ba = (rng.normal(size=(64,)) * 0.1).astype(np.float32)
+    wb = (rng.normal(size=(3, 3, 64, 64)) * 0.1).astype(np.float32)
+    bb = (rng.normal(size=(64,)) * 0.1).astype(np.float32)
+    ref = _ref_conv(jnp.asarray(x[:, :, :wimg]), jnp.asarray(wa), jnp.asarray(ba))
+    ref = np.asarray(_ref_conv(ref, jnp.asarray(wb), jnp.asarray(bb)))
+
+    xc = np.zeros((B, C, H + 2 * PAD_ROWS, W), np.float32)
+    xc[:, :, PAD_ROWS : PAD_ROWS + H, :wimg] = x.transpose(0, 3, 1, 2)[:, :, :, :wimg]
+    out = np.asarray(
+        conv_pair_chw(
+            jnp.asarray(xc), jnp.asarray(wa), jnp.asarray(ba),
+            jnp.asarray(wb), jnp.asarray(bb), w_img=wimg, interpret=True,
+        )
+    )
+    assert np.all(out[:, :, :PAD_ROWS] == 0)
+    assert np.all(out[:, :, PAD_ROWS + H :] == 0)
+    assert np.all(out[:, :, :, wimg:] == 0)
+    got = out[:, :, PAD_ROWS : PAD_ROWS + H, :wimg].transpose(0, 2, 3, 1)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.02, err
+
+
 def test_conv_pool_chain_matches_xla():
     B, H, W, wimg = 1, 16, 256, 250
     img = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
