@@ -56,8 +56,23 @@ def main() -> None:
         v = rw_vert(t)
         return jnp.maximum(v[:, :, :, 0::2], v[:, :, :, 1::2])
 
+    xf = jnp.zeros_like(x, jnp.float32)
+
+    def rw_f32_out_bf16(t):
+        return rw_both(t.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    xh = jnp.zeros((2, 400, 1280, 64), jnp.bfloat16)  # NHWC-ish: C on lanes
+
+    def rw_nhwc(t):
+        return lax.reduce_window(
+            t, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
     results = {
-        "reduce_window 2x2": timed_scan(rw_both, x),
+        "reduce_window 2x2 bf16": timed_scan(rw_both, x),
+        "reduce_window 2x2 f32": timed_scan(rw_both, xf),
+        "rw f32-compute bf16 io": timed_scan(rw_f32_out_bf16, x),
+        "reduce_window nhwc bf16": timed_scan(rw_nhwc, xh),
         "reduce_window vert only": timed_scan(rw_vert, x),
         "reduce_window horiz only": timed_scan(rw_horiz, x),
         "strided slices": timed_scan(strided, x),

@@ -118,7 +118,8 @@ def main() -> None:
             canvas,
         )
 
-    half = jnp.zeros((2, 64, PH // 2 + 16, wp), jnp.bfloat16)
+    wp_half = -(-(PW // 2) // 128) * 128
+    half = jnp.zeros((2, 64, PH // 2 + 16, wp_half), jnp.bfloat16)
     if on("conv2"):
         results["conv2a"] = timed_scan(
             lambda x: conv3x3_chw(
@@ -135,6 +136,26 @@ def main() -> None:
                 sp["conv2b.weight"], sp["conv2b.bias"], w_img=PW // 2,
             ),
             half,
+        )
+    if on("conv_pair_pool"):
+        from superslam_tpu.ops.pallas.conv import conv_pair_chw
+
+        results["conv_pair_pool"] = timed_scan(
+            lambda x: conv_pair_chw(
+                x, sp["conv2a.weight"], sp["conv2a.bias"],
+                sp["conv2b.weight"], sp["conv2b.bias"], w_img=PW // 2,
+                pool_vert=True,
+            ),
+            half,
+        )
+    if on("conv1a1b_pool"):
+        results["conv1a1b_pool"] = timed_scan(
+            lambda x: conv1a1b_chw(
+                x, sp["conv1a.weight"], sp["conv1a.bias"],
+                sp["conv1b.weight"], sp["conv1b.bias"], w_img=PW,
+                pool_vert=True,
+            ),
+            canvas,
         )
     if on("pools"):
         full = jnp.zeros((2, 64, PH + 16, wp), jnp.bfloat16)

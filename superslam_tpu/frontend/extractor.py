@@ -25,12 +25,12 @@ from ..utils.profiler import profile_scope
 from .features import PaddedFeatures
 
 
-def pad_to_multiple(x: int, m: int = 16) -> int:
-    """Frame padding quantum. 16 (not the minimal 8) because the Pallas
-    conv kernels stripe 8 rows at full AND half resolution — an H % 16 != 0
-    frame (KITTI's 376!) would silently fall back to the ~3x slower XLA
-    conv path (superpoint_dense's guard). Extra rows/cols are zeros and
-    their keypoints are masked by true_width/true_height in
+def pad_to_multiple(x: int, m: int = 32) -> int:
+    """Frame padding quantum. 32 (not the minimal 8) because the Pallas
+    conv+pool kernels stripe 16 rows at full AND half resolution — an
+    H % 32 != 0 frame (KITTI's 376!) would silently fall back to the ~3x
+    slower XLA conv path (superpoint_dense's guard). Extra rows/cols are
+    zeros and their keypoints are masked by true_width/true_height in
     select_keypoints."""
     return ((x + m - 1) // m) * m
 

@@ -84,7 +84,7 @@ def _front_convs_pallas(
         PAD_ROWS,
         conv1a1b_chw,
         conv_pair_chw,
-        pool2_canvas,
+        hpool_canvas,
         to_canvas,
     )
 
@@ -96,6 +96,10 @@ def _front_convs_pallas(
 
     b, h, w = image.shape
     x = lane_pad(to_canvas(image, w))
+    # Each conv stage emits its output vertically pooled (the row pair is
+    # combined in-registers on the way out); XLA finishes only the cheap
+    # horizontal half on half the rows. reduce_window on the full-res canvas
+    # measured ~0.8 ms — 5x off bandwidth — so the pool must never see it.
     x = conv1a1b_chw(
         x,
         params["conv1a.weight"],
@@ -105,8 +109,9 @@ def _front_convs_pallas(
         w_img=w,
         interpret=interpret,
         out_dtype=compute_dtype,
+        pool_vert=True,
     )
-    x = lane_pad(pool2_canvas(x))
+    x = lane_pad(hpool_canvas(x))
     x = conv_pair_chw(
         x,
         params["conv2a.weight"],
@@ -116,8 +121,9 @@ def _front_convs_pallas(
         w_img=w // 2,
         interpret=interpret,
         out_dtype=compute_dtype,
+        pool_vert=True,
     )
-    x = pool2_canvas(x)
+    x = hpool_canvas(x)
     # Slice to the EXACT quarter-res extent: from here the XLA stages see
     # the same canvas as the pure-XLA path (SAME padding semantics and all).
     core = x[:, :, PAD_ROWS : PAD_ROWS + h // 4, : w // 4]
@@ -145,10 +151,10 @@ def superpoint_dense(
     if use_pallas_convs is None:
         use_pallas_convs = _pallas_convs_wanted()
     b_, h_, w_ = image.shape
-    # The Pallas kernels grid 8-row stripes at full AND half resolution, so
-    # H must be a multiple of 16 (standard datasets are; tiny synthetic
-    # frames fall back to the XLA path).
-    if h_ % 16 != 0 or w_ % 8 != 0:
+    # The Pallas conv+pool kernels grid 16-row stripes at full AND half
+    # resolution, so H must be a multiple of 32 (the frontends pad to it;
+    # tiny synthetic frames fall back to the XLA path).
+    if h_ % 32 != 0 or w_ % 8 != 0:
         use_pallas_convs = False
     relu = jax.nn.relu
     if use_pallas_convs:

@@ -143,6 +143,7 @@ def _conv1a1b_kernel(
         a = jnp.where(jnp.logical_and(col1 < w_img, row_ok), a, 0.0)
         a_rows.append(a.astype(cdt))
 
+    y_even = None
     for r in range(_TH):
         cat = jnp.concatenate(a_rows[r : r + 3], axis=0)  # (3*C_mid, Wp)
         z3 = jax.lax.dot_general(
@@ -217,7 +218,150 @@ def _conv_pair_kernel(
         o_ref[0, :, r, :] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w_img", "interpret", "out_dtype"))
+def _pool_rows_spec(c_in, hp_deep):
+    """Input BlockSpec for the pooled kernels: 32 fetched rows per 16-row
+    output step, 8-aligned, clipped into the deepened canvas."""
+    smax = (hp_deep - 32) // 8
+
+    def index_map(bb_, i):
+        return (bb_, 0, 8 * jnp.clip(2 * i - 1, 0, smax), 0)
+
+    def spec(wp):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(c_in), pl.Element(32), pl.Element(wp)),
+            index_map,
+        )
+
+    return spec
+
+
+def _pool_conv_b_loop(a_ref, wb_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interior, col, w_img):
+    """Shared second-conv + vertical-pool loop of the pooled kernels.
+
+    a_ref: (18, C_mid, Wp) VMEM scratch holding conv_a rows at indices
+    0..17 (conv row local c uses a-rows c-8+..; see callers). A
+    lax.fori_loop (NOT an unrolled Python loop) bounds liveness to one
+    iteration's matmul temporaries — fully unrolled, Mosaic keeps all 16
+    (3*C_out, Wp) f32 products live at once and blows the 16 MB scoped
+    VMEM stack at Wp=1280. Pooled rows land in the (8, C_out, Wp) y_ref
+    scratch (dynamic MAJOR-dim stores are legal; dynamic second-minor
+    stores into o_ref must be 8-aligned) and copy out statically."""
+
+    def body(p, _):
+        def conv_b(idx):
+            cat = jnp.concatenate(
+                [a_ref[idx + t] for t in range(3)], axis=0
+            )  # (3*C_mid, Wp)
+            z3 = jax.lax.dot_general(
+                wb_ref[:],
+                cat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = (
+                _shift_out(z3[:c_out], 0)
+                + z3[c_out : 2 * c_out]
+                + _shift_out(z3[2 * c_out :], 2)
+            )
+            return jnp.maximum(acc + bb_ref[:], 0.0)
+
+        y = jnp.maximum(conv_b(2 * p), conv_b(2 * p + 1))
+        y = jnp.where(jnp.logical_and(col[:c_out] < w_img, interior), y, 0.0)
+        y_ref[p] = y.astype(y_ref.dtype)
+        return 0
+
+    # unroll=2 recovers most of the matmul pipelining the loop costs while
+    # keeping only 2 iterations' f32 products live (8x unrolled OOMs the
+    # 16 MB scoped VMEM stack at Wp=1280).
+    jax.lax.fori_loop(0, 4, lambda q, c: (body(2 * q, c), body(2 * q + 1, c))[0], 0, unroll=False)
+    for p in range(8):
+        o_ref[0, :, p, :] = y_ref[p]
+
+
+def _conv1a1b_pool_kernel(
+    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt
+):
+    """conv1a + ReLU + conv1b + ReLU + vertical half of the 2x2 max-pool.
+
+    One grid step emits 8 POOLED rows (16 conv rows): the row pair is
+    max-combined in registers on the way out, so the full-res conv1b map
+    never exists in HBM (XLA's reduce_window on it measured ~5x off
+    bandwidth). The input is the 16-row-padded "deep" canvas so interior
+    fetches (rows 16i-8..16i+23) never clamp; the 8-row top/bottom pad
+    blocks of the standard-output canvas are written as zeros."""
+    i = pl.program_id(1)
+    interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
+    xr = x_ref[0, 0].astype(jnp.float32)  # (32, Wp)
+    col1 = None
+
+    for l in range(7, 25):  # conv1a rows for conv rows 16i-8+8..16i-8+24
+        z3 = jax.lax.dot_general(
+            wa_ref[:],  # (3*C_mid, 3)
+            xr[l - 1 : l + 2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_mid], 0)
+            + z3[c_mid : 2 * c_mid]
+            + _shift_out(z3[2 * c_mid :], 2)
+        )
+        a = jnp.maximum(acc + ba_ref[:], 0.0)
+        if col1 is None:
+            col1 = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
+        row = 16 * i - 8 + l  # deep-canvas row of this conv1a value
+        row_ok = jnp.logical_and(row >= 2 * PAD_ROWS, row < hp_deep - 2 * PAD_ROWS)
+        a = jnp.where(jnp.logical_and(col1 < w_img, row_ok), a, 0.0)
+        a_ref[l - 7] = a.astype(cdt)
+
+    _pool_conv_b_loop(
+        a_ref, wb_ref, bb_ref, o_ref, y_ref,
+        wp=wp, c_out=c_out, interior=interior, col=col1, w_img=w_img,
+    )
+
+
+def _conv_pair_pool_kernel(
+    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt
+):
+    """conv_a + ReLU + conv_b + ReLU + vertical pool for C_in-channel deep
+    canvases (the conv2a+conv2b+pool stage); see _conv1a1b_pool_kernel."""
+    i = pl.program_id(1)
+    interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
+    xb = x_ref[0]  # (C_in, 32, Wp)
+    col = None
+
+    for l in range(7, 25):
+        cat = jnp.concatenate(
+            [xb[:, l - 1 + dy, :] for dy in range(3)], axis=0
+        )  # (3*C_in, Wp)
+        z3 = jax.lax.dot_general(
+            wa_ref[:],  # (3*C_mid, 3*C_in)
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = (
+            _shift_out(z3[:c_mid], 0)
+            + z3[c_mid : 2 * c_mid]
+            + _shift_out(z3[2 * c_mid :], 2)
+        )
+        a = jnp.maximum(acc + ba_ref[:], 0.0)
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
+        row = 16 * i - 8 + l
+        row_ok = jnp.logical_and(row >= 2 * PAD_ROWS, row < hp_deep - 2 * PAD_ROWS)
+        a = jnp.where(jnp.logical_and(col < w_img, row_ok), a, 0.0)
+        a_ref[l - 7] = a.astype(cdt)
+
+    _pool_conv_b_loop(
+        a_ref, wb_ref, bb_ref, o_ref, y_ref,
+        wp=wp, c_out=c_out, interior=interior, col=col, w_img=w_img,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w_img", "interpret", "out_dtype", "pool_vert")
+)
 def conv_pair_chw(
     x: jnp.ndarray,  # (B, C_in, Hp, Wp) canvas
     wa: jnp.ndarray,  # (3, 3, C_in, C_mid)
@@ -228,18 +372,64 @@ def conv_pair_chw(
     w_img: int,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
+    pool_vert: bool = False,
 ) -> jnp.ndarray:
-    """Two fused 3x3 SAME convs (+ReLU each) -> (B, C_out, Hp, Wp) canvas."""
+    """Two fused 3x3 SAME convs (+ReLU each) -> (B, C_out, Hp, Wp) canvas.
+
+    With ``pool_vert`` the output is additionally vertically pooled: a
+    standard canvas (B, C_out, Hp//2 + PAD_ROWS, Wp) whose row k is
+    max(conv rows 2k', 2k'+1) — finish with hpool_canvas for the full 2x2.
+    """
     cdt = jnp.float32 if interpret else jnp.bfloat16
     bsz, c_in, hp, wp = x.shape
     assert wp % 128 == 0 and hp % _TH == 0 and hp >= _IN_ROWS, x.shape
     c_mid, c_out = wa.shape[3], wb.shape[3]
     assert c_out <= c_mid, "kernel reuses the (C_mid, Wp) column iota"
-    n_blocks = hp // _TH
 
     wak = wa.transpose(1, 3, 0, 2).reshape(3 * c_mid, 3 * c_in).astype(cdt)
     wbk = wb.transpose(1, 3, 0, 2).reshape(3 * c_out, 3 * c_mid).astype(cdt)
+    weights = (
+        wak,
+        ba.reshape(c_mid, 1).astype(jnp.float32),
+        wbk,
+        bb.reshape(c_out, 1).astype(jnp.float32),
+    )
+    wspecs = [
+        pl.BlockSpec((3 * c_mid, 3 * c_in), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
+    ]
 
+    if pool_vert:
+        assert hp % 16 == 0, hp
+        from jax.experimental.pallas import tpu as pltpu
+
+        xd = jnp.pad(x.astype(cdt), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0)))
+        hp_deep = hp + 2 * PAD_ROWS
+        n_blocks = hp_deep // 16
+        return pl.pallas_call(
+            functools.partial(
+                _conv_pair_pool_kernel,
+                wp=wp, c_mid=c_mid, c_out=c_out, w_img=w_img,
+                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, c_out, hp_deep // 2, wp), out_dtype
+            ),
+            grid=(bsz, n_blocks),
+            in_specs=[_pool_rows_spec(c_in, hp_deep)(wp)] + wspecs,
+            out_specs=pl.BlockSpec(
+                (1, c_out, 8, wp), lambda bb_, i: (bb_, 0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((18, c_mid, wp), cdt),
+                pltpu.VMEM((8, c_out, wp), out_dtype),
+            ],
+            interpret=interpret,
+        )(xd, *weights)
+
+    n_blocks = hp // _TH
     out = pl.pallas_call(
         functools.partial(
             _conv_pair_kernel,
@@ -257,24 +447,17 @@ def conv_pair_chw(
                 (pl.Element(1), pl.Element(c_in), pl.Element(_IN_ROWS), pl.Element(wp)),
                 lambda bb_, i: (bb_, 0, _TH * jnp.maximum(i - 1, 0), 0),
             ),
-            pl.BlockSpec((3 * c_mid, 3 * c_in), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
-        ],
+        ]
+        + wspecs,
         out_specs=pl.BlockSpec((1, c_out, _TH, wp), lambda bb_, i: (bb_, 0, i, 0)),
         interpret=interpret,
-    )(
-        x.astype(cdt),
-        wak,
-        ba.reshape(c_mid, 1).astype(jnp.float32),
-        wbk,
-        bb.reshape(c_out, 1).astype(jnp.float32),
-    )
+    )(x.astype(cdt), *weights)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("w_img", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("w_img", "interpret", "out_dtype", "pool_vert")
+)
 def conv1a1b_chw(
     x: jnp.ndarray,  # (B, 1, Hp, Wp) image canvas (f32 in [0,1] or uint8)
     wa: jnp.ndarray,  # (3, 3, 1, C_mid)
@@ -285,14 +468,16 @@ def conv1a1b_chw(
     w_img: int,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
+    pool_vert: bool = False,
 ) -> jnp.ndarray:
-    """Fused first two SuperPoint convs -> (B, C_out, Hp, Wp) canvas."""
+    """Fused first two SuperPoint convs -> (B, C_out, Hp, Wp) canvas
+    (a vertically pooled (B, C_out, Hp//2 + PAD_ROWS, Wp) standard canvas
+    when ``pool_vert``; finish with hpool_canvas)."""
     cdt = jnp.float32 if interpret else jnp.bfloat16
     bsz, one, hp, wp = x.shape
     assert one == 1 and wp % 128 == 0 and hp % _TH == 0, x.shape
     c_mid, c_out = wa.shape[3], wb.shape[3]
     assert c_out <= c_mid, "kernel reuses the (C_mid, Wp) column iota"
-    n_blocks = hp // _TH
 
     if x.dtype == jnp.uint8:
         # fold the 1/255 normalization into the conv1a weights
@@ -302,7 +487,48 @@ def conv1a1b_chw(
     # each output row is ONE matmul (see _conv_kernel).
     wak = wa.transpose(1, 3, 0, 2).reshape(3 * c_mid, 3).astype(jnp.float32)
     wbk = wb.transpose(1, 3, 0, 2).reshape(3 * c_out, 3 * c_mid).astype(cdt)
+    weights = (
+        wak,
+        ba.reshape(c_mid, 1).astype(jnp.float32),
+        wbk,
+        bb.reshape(c_out, 1).astype(jnp.float32),
+    )
+    wspecs = [
+        pl.BlockSpec((3 * c_mid, 3), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
+        pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
+    ]
 
+    if pool_vert:
+        assert hp % 16 == 0, hp
+        from jax.experimental.pallas import tpu as pltpu
+
+        xd = jnp.pad(x.astype(cdt), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0)))
+        hp_deep = hp + 2 * PAD_ROWS
+        n_blocks = hp_deep // 16
+        return pl.pallas_call(
+            functools.partial(
+                _conv1a1b_pool_kernel,
+                wp=wp, c_mid=c_mid, c_out=c_out, w_img=w_img,
+                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, c_out, hp_deep // 2, wp), out_dtype
+            ),
+            grid=(bsz, n_blocks),
+            in_specs=[_pool_rows_spec(1, hp_deep)(wp)] + wspecs,
+            out_specs=pl.BlockSpec(
+                (1, c_out, 8, wp), lambda bb_, i: (bb_, 0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((18, c_mid, wp), cdt),
+                pltpu.VMEM((8, c_out, wp), out_dtype),
+            ],
+            interpret=interpret,
+        )(xd, *weights)
+
+    n_blocks = hp // _TH
     out = pl.pallas_call(
         functools.partial(
             _conv1a1b_kernel,
@@ -320,20 +546,11 @@ def conv1a1b_chw(
                 (pl.Element(1), pl.Element(1), pl.Element(_IN_ROWS), pl.Element(wp)),
                 lambda bb_, i: (bb_, 0, _TH * jnp.maximum(i - 1, 0), 0),
             ),
-            pl.BlockSpec((3 * c_mid, 3), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((c_mid, 1), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((3 * c_out, 3 * c_mid), lambda bb_, i: (0, 0)),
-            pl.BlockSpec((c_out, 1), lambda bb_, i: (0, 0)),
-        ],
+        ]
+        + wspecs,
         out_specs=pl.BlockSpec((1, c_out, _TH, wp), lambda bb_, i: (bb_, 0, i, 0)),
         interpret=interpret,
-    )(
-        x.astype(cdt),
-        wak,
-        ba.reshape(c_mid, 1).astype(jnp.float32),
-        wbk,
-        bb.reshape(c_out, 1).astype(jnp.float32),
-    )
+    )(x.astype(cdt), *weights)
     return out
 
 
@@ -405,6 +622,16 @@ def to_canvas(img: jnp.ndarray, wp: int) -> jnp.ndarray:
     b, h, w = img.shape
     x = jnp.pad(img, ((0, 0), (PAD_ROWS, PAD_ROWS), (0, wp - w)))
     return x[:, None]
+
+
+def hpool_canvas(x: jnp.ndarray) -> jnp.ndarray:
+    """Finish a 2x2 max-pool whose vertical half was folded into the
+    producing conv kernel (``pool_vert=True``): horizontal pair max only.
+    The pooled kernel already emits a standard PAD_ROWS canvas (its deep
+    input pads pool down to exactly PAD_ROWS), so rows are untouched."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 1, 2), (1, 1, 1, 2), "VALID"
+    )
 
 
 def pool2_canvas(x: jnp.ndarray) -> jnp.ndarray:

@@ -90,6 +90,44 @@ def test_conv_pair_matches_two_convs():
     assert err < 0.02, err
 
 
+def test_conv_pair_pool_vert_matches_conv_then_pool():
+    """pool_vert pair kernel == two XLA convs + vertical 2x max, emitted as
+    a standard PAD_ROWS canvas."""
+    from superslam_tpu.ops.pallas.conv import conv_pair_chw
+
+    B, C, H, W, wimg = 1, 64, 32, 256, 250
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    x[:, :, wimg:, :] = 0.0
+    wa = (rng.normal(size=(3, 3, C, 64)) * 0.1).astype(np.float32)
+    ba = (rng.normal(size=(64,)) * 0.1).astype(np.float32)
+    wb = (rng.normal(size=(3, 3, 64, 64)) * 0.1).astype(np.float32)
+    bb = (rng.normal(size=(64,)) * 0.1).astype(np.float32)
+    ref = _ref_conv(jnp.asarray(x[:, :, :wimg]), jnp.asarray(wa), jnp.asarray(ba))
+    ref = _ref_conv(ref, jnp.asarray(wb), jnp.asarray(bb))
+    ref = np.asarray(
+        jax.lax.reduce_window(
+            ref, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+        )
+    )
+
+    xc = np.zeros((B, C, H + 2 * PAD_ROWS, W), np.float32)
+    xc[:, :, PAD_ROWS : PAD_ROWS + H, :wimg] = x.transpose(0, 3, 1, 2)[:, :, :, :wimg]
+    out = np.asarray(
+        conv_pair_chw(
+            jnp.asarray(xc), jnp.asarray(wa), jnp.asarray(ba),
+            jnp.asarray(wb), jnp.asarray(bb), w_img=wimg, interpret=True,
+            pool_vert=True,
+        )
+    )
+    assert out.shape == (B, 64, H // 2 + 2 * PAD_ROWS, W)
+    assert np.all(out[:, :, :PAD_ROWS] == 0)
+    assert np.all(out[:, :, PAD_ROWS + H // 2 :] == 0)
+    assert np.all(out[:, :, :, wimg:] == 0)
+    got = out[:, :, PAD_ROWS : PAD_ROWS + H // 2, :wimg].transpose(0, 2, 3, 1)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.02, err
+
+
 def test_conv_pool_chain_matches_xla():
     B, H, W, wimg = 1, 16, 256, 250
     img = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
