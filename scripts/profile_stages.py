@@ -246,6 +246,55 @@ def main() -> None:
     if on("lightglue"):
         results["lightglue_2pair"] = timed_scan(lg_fn, desc)
 
+    # LightGlue sub-stages at the same shapes (B=4 rows of K=600, D=256).
+    # Sub-ms stages need wide iteration spans or relay noise swamps the
+    # scan difference.
+    small = dict(lo=8, hi=72)
+    from superslam_tpu.models import lightglue as lgm
+
+    xtok = jnp.asarray(
+        rng.standard_normal((4, MAX_KP, 256)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    vmask = jnp.ones((4, MAX_KP), bool)
+    enc = lgm._rotary_encoding(
+        jnp.asarray(rng.uniform(-1, 1, (4, MAX_KP, 2)).astype(np.float32)),
+        lg, jnp.bfloat16,
+    )
+
+    if on("lg_self"):
+        results["lg_self_block"] = timed_scan(
+            lambda t: lgm._self_block(
+                t, enc, vmask, lg, "transformers.0.self_attn", jnp.bfloat16
+            ),
+            xtok, **small,
+        )
+    if on("lg_cross"):
+        results["lg_cross_block"] = timed_scan(
+            lambda t: lgm._cross_block_paired(
+                t, vmask, lg, "transformers.0.cross_attn", jnp.bfloat16
+            ),
+            xtok, **small,
+        )
+    if on("lg_attn"):
+        qkv4 = jnp.asarray(
+            rng.standard_normal((4, 4, MAX_KP, 64)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        results["lg_attention"] = timed_scan(
+            lambda q: lgm._attention(q, qkv4, qkv4, vmask), qkv4, **small
+        )
+    if on("lg_ffn"):
+        results["lg_ffn"] = timed_scan(
+            lambda t: lgm._ffn(t, t, lg, "transformers.0.self_attn.ffn", jnp.bfloat16),
+            xtok, **small,
+        )
+    if on("lg_assign"):
+        results["lg_log_assignment"] = timed_scan(
+            lambda t: lgm._log_assignment(
+                t[0::2], t[1::2], vmask[0::2], vmask[1::2], lg, "log_assignment.8"
+            ),
+            xtok, **small,
+        )
+
     print()
     for k, v in results.items():
         print(f"{k:32s} {v:7.3f} ms")

@@ -122,6 +122,51 @@ def _pallas_attn_wanted() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _pallas_layer_wanted() -> bool:
+    """Whether whole transformer layers run as fused Pallas kernels
+    (ops/pallas/lightglue_layer.py) instead of ~20 XLA ops per layer.
+    Default: on for TPU backends, off on CPU (XLA path is the oracle).
+    SUPERSLAM_PALLAS_LG=0/1 overrides; read at trace time."""
+    import os
+
+    v = os.environ.get("SUPERSLAM_PALLAS_LG")
+    if v is not None:
+        return v not in ("0", "", "false")
+    return jax.default_backend() != "cpu"
+
+
+def _forward_pallas_layers(params, x, kpts, mask, compute_dtype, interpret=False):
+    """All 9 self+cross layers via the fused kernels. x (2B, K, 256)
+    (K % 8 == 0), kpts (2B, K, 2) normalized, mask (2B, K) bool."""
+    from ..ops.pallas.lightglue_layer import (
+        fused_cross_block,
+        fused_self_block,
+        prep_cross_weights,
+        prep_self_weights,
+    )
+
+    wr = params["posenc.Wr.weight"].astype(jnp.float32)  # (2, 32)
+    proj = kpts.astype(jnp.float32) @ wr  # (2B, K, 32)
+    # Permuted [evens | odds] rotary tiles: both halves of a head share the
+    # frequency, heads share the encoding.
+    cos_p = jnp.tile(jnp.concatenate([jnp.cos(proj)] * 2, -1), (1, 1, NUM_HEADS))
+    sin_p = jnp.tile(jnp.concatenate([jnp.sin(proj)] * 2, -1), (1, 1, NUM_HEADS))
+    mask8 = jnp.broadcast_to(
+        mask.astype(jnp.float32)[:, None, :], (x.shape[0], 8, x.shape[1])
+    )
+    # CPU interpret mode lacks a bf16 x bf16 -> f32 dot thunk (same
+    # limitation as the conv kernels): run the kernels in f32 there.
+    kdt = jnp.float32 if interpret else compute_dtype
+    x = x.astype(kdt)
+    for i in range(NUM_LAYERS):
+        p = f"transformers.{i}"
+        ws = prep_self_weights(params, f"{p}.self_attn", kdt)
+        x = fused_self_block(x, cos_p, sin_p, mask8, ws, interpret=interpret)
+        wc = prep_cross_weights(params, f"{p}.cross_attn", kdt)
+        x = fused_cross_block(x, mask8, wc, interpret=interpret)
+    return x.astype(compute_dtype)
+
+
 def _attention(q, k, v, key_mask):
     """Masked SDPA. q,k,v: (B, H, N, D); key_mask: (B, N) bool."""
     if _pallas_attn_wanted():
@@ -228,7 +273,13 @@ def lightglue_forward(
     """
     b = desc0.shape[0]
     m_len, n_len = desc0.shape[1], desc1.shape[1]
+    use_fused = _pallas_layer_wanted()
     K = max(m_len, n_len)
+    if use_fused:
+        # Tokens ride sublanes (pad to 8) AND the (K, K) logits' lane dim
+        # must be at least one full 128-tile: the remote Mosaic compiler
+        # HANGS (not errors) on sub-128 lane dims (measured at K=96).
+        K = max(-(-K // 8) * 8, 128)
 
     def pad_to(a, k):
         if a.shape[1] == k:
@@ -244,12 +295,20 @@ def lightglue_forward(
     mask = jnp.stack([mask0p, mask1p], axis=1).reshape(2 * b, K)
 
     x = _linear(x, params, "input_proj", compute_dtype)
-    enc = _rotary_encoding(kpts, params, compute_dtype)
 
-    for i in range(NUM_LAYERS):
-        p = f"transformers.{i}"
-        x = _self_block(x, enc, mask, params, f"{p}.self_attn", compute_dtype)
-        x = _cross_block_paired(x, mask, params, f"{p}.cross_attn", compute_dtype)
+    if use_fused:
+        x = _forward_pallas_layers(
+            params, x, kpts, mask, compute_dtype,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        enc = _rotary_encoding(kpts, params, compute_dtype)
+        for i in range(NUM_LAYERS):
+            p = f"transformers.{i}"
+            x = _self_block(x, enc, mask, params, f"{p}.self_attn", compute_dtype)
+            x = _cross_block_paired(
+                x, mask, params, f"{p}.cross_attn", compute_dtype
+            )
 
     x0 = x[0::2, :m_len]
     x1 = x[1::2, :n_len]

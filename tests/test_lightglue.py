@@ -39,6 +39,27 @@ def make_inputs(rng, n0, n1, pad_to=None):
     return map(jnp.asarray, (k0, d0, k1, d1, m0, m1))
 
 
+def test_fused_pallas_layers_match_xla(params, monkeypatch):
+    """The fused Pallas transformer layers (interpret mode on CPU) must
+    reproduce the XLA layer stack's log-assignment."""
+    rng = np.random.default_rng(5)
+    k0, d0, k1, d1, m0, m1 = make_inputs(rng, 40, 36, pad_to=48)
+    monkeypatch.setenv("SUPERSLAM_PALLAS_LG", "0")
+    ref = np.asarray(
+        lightglue_forward(params, k0, d0, k1, d1, m0, m1, compute_dtype=jnp.float32)
+    )
+    monkeypatch.setenv("SUPERSLAM_PALLAS_LG", "1")
+    got = np.asarray(
+        lightglue_forward(params, k0, d0, k1, d1, m0, m1, compute_dtype=jnp.float32)
+    )
+    assert got.shape == ref.shape
+    # Same argmax structure and close log-probs on the valid block.
+    v = ref[:, :40, :36]
+    g = got[:, :40, :36]
+    assert (np.argmax(v, axis=2) == np.argmax(g, axis=2)).mean() > 0.97
+    assert np.abs(np.exp(v) - np.exp(g)).max() < 5e-3
+
+
 def test_forward_shape(params):
     rng = np.random.default_rng(0)
     k0, d0, k1, d1, m0, m1 = make_inputs(rng, 32, 48)
