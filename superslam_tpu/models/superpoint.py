@@ -188,16 +188,24 @@ def superpoint_dense(
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * CELL, w * CELL)
 
     if nms_radius > 0:
-        k = 2 * nms_radius + 1
-        # Max is separable: two 1-D windows (2k taps) instead of one k x k
-        # window (k^2 taps) — identical result, ~4x less VPU work at k=9.
-        pooled = jax.lax.reduce_window(
-            scores, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME"
-        )
-        pooled = jax.lax.reduce_window(
-            pooled, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME"
-        )
-        scores = jnp.where(scores == pooled, scores, 0.0)
+        hs = scores.shape[1]
+        if use_pallas_convs and hs % 16 == 0 and nms_radius <= 8:
+            from ..ops.pallas.nms import nms_suppress
+
+            scores = nms_suppress(
+                scores, nms_radius, interpret=jax.default_backend() == "cpu"
+            )
+        else:
+            k = 2 * nms_radius + 1
+            # Max is separable: two 1-D windows (2k taps) instead of one
+            # k x k window (k^2 taps) — identical result, ~4x less VPU work.
+            pooled = jax.lax.reduce_window(
+                scores, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME"
+            )
+            pooled = jax.lax.reduce_window(
+                pooled, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME"
+            )
+            scores = jnp.where(scores == pooled, scores, 0.0)
 
     # Descriptor head, L2-normalized over channels.
     cDa = relu(_conv(x, params, "convDa", compute_dtype))

@@ -270,10 +270,15 @@ def _pool_conv_b_loop(a_ref, wb_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interio
         y_ref[p] = y.astype(y_ref.dtype)
         return 0
 
-    # unroll=2 recovers most of the matmul pipelining the loop costs while
-    # keeping only 2 iterations' f32 products live (8x unrolled OOMs the
+    # 4x unroll recovers most of the matmul pipelining the loop costs while
+    # keeping only 4 iterations' f32 products live (8x unrolled OOMs the
     # 16 MB scoped VMEM stack at Wp=1280).
-    jax.lax.fori_loop(0, 4, lambda q, c: (body(2 * q, c), body(2 * q + 1, c))[0], 0, unroll=False)
+    def quad(q, c):
+        for t in range(4):
+            body(4 * q + t, c)
+        return c
+
+    jax.lax.fori_loop(0, 2, quad, 0, unroll=False)
     for p in range(8):
         o_ref[0, :, p, :] = y_ref[p]
 

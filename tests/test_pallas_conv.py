@@ -150,6 +150,25 @@ def test_conv_pool_chain_matches_xla():
     assert err < 0.02, err
 
 
+def test_pallas_nms_matches_reduce_window():
+    from superslam_tpu.ops.pallas.nms import nms_suppress
+
+    s = np.abs(rng.normal(size=(2, 32, 200)).astype(np.float32))
+    # Sprinkle exact zeros (suppressed cells) like a real NMS'd map input.
+    s[s < 0.5] = 0.0
+    x = jnp.asarray(s)
+    k = 9
+    pooled = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k), (1, 1, 1), "SAME"
+    )
+    pooled = jax.lax.reduce_window(
+        pooled, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), "SAME"
+    )
+    ref = np.asarray(jnp.where(x == pooled, x, 0.0))
+    got = np.asarray(nms_suppress(x, 4, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_superpoint_dense_pallas_path_matches_default():
     """The Pallas encoder path must reproduce the XLA path's dense heads
     (the selection downstream is pinned by the facade equivalence tests)."""
