@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 WIDTH, HEIGHT = 1241, 376
-PW, PH = 1248, 384  # padded to %16/%8
+PW, PH = 1248, 384  # padded to the frontends' quantum (H % 32, W % 8)
 MAX_KP = 600
 
 

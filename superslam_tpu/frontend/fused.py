@@ -75,8 +75,12 @@ class FusedStereoPipeline:
         min_disparity: float = 1.0,
         match_threshold: float = 0.1,
     ):
+        from ..ops.pallas.lightglue_layer import augment_fused_layer_params
+
         self.sp_params = sp_params
-        self.lg_params = lg_params
+        # Permute the fused-layer kernel weights once at construction (the
+        # per-call in-trace fallback costs ~18 gathers over the params).
+        self.lg_params = augment_fused_layer_params(lg_params)
         self.calib = calib
         self.width = int(width)
         self.height = int(height)

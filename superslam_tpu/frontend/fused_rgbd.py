@@ -39,8 +39,10 @@ class FusedRgbdPipeline:
         nms_radius: int = 4,
         match_threshold: float = 0.1,
     ):
+        from ..ops.pallas.lightglue_layer import augment_fused_layer_params
+
         self.sp_params = sp_params
-        self.lg_params = lg_params
+        self.lg_params = augment_fused_layer_params(lg_params)
         self.calib = calib
         self.width = int(width)
         self.height = int(height)

@@ -41,7 +41,9 @@ class LightGlueMatcher:
         threshold: float = 0.1,
         descriptor_dim: int = 256,
     ):
-        self.params = params
+        from ..ops.pallas.lightglue_layer import augment_fused_layer_params
+
+        self.params = augment_fused_layer_params(params)
         self.image_width = float(image_width)
         self.image_height = float(image_height)
         self.capacity = int(max_keypoints)

@@ -126,12 +126,18 @@ def _pallas_layer_wanted() -> bool:
     """Whether whole transformer layers run as fused Pallas kernels
     (ops/pallas/lightglue_layer.py) instead of ~20 XLA ops per layer.
     Default: on for TPU backends, off on CPU (XLA path is the oracle).
-    SUPERSLAM_PALLAS_LG=0/1 overrides; read at trace time."""
+    SUPERSLAM_PALLAS_LG=0/1 overrides; read at trace time. An explicit
+    SUPERSLAM_PALLAS_ATTN=0 (the force-XLA-attention debug knob) also
+    disables the fused layers unless PALLAS_LG overrides it — otherwise
+    that A/B would silently keep Pallas attention inside the fused path."""
     import os
 
     v = os.environ.get("SUPERSLAM_PALLAS_LG")
     if v is not None:
         return v not in ("0", "", "false")
+    a = os.environ.get("SUPERSLAM_PALLAS_ATTN")
+    if a is not None and a in ("0", "", "false"):
+        return False
     return jax.default_backend() != "cpu"
 
 

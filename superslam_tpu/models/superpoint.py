@@ -228,7 +228,6 @@ def select_keypoints(
     true_width: int | None = None,
     true_height: int | None = None,
     use_pallas: bool = False,
-    nms_radius: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device top-K keypoint selection + nearest-cell descriptor gather.
 
@@ -236,8 +235,6 @@ def select_keypoints(
     (src/SuperPoint.cc:696-750). Static output shapes: exactly K rows per
     image with a validity mask (score > threshold). Valid rows always form a
     prefix (top_k sorts scores descending and suppressed cells score 0).
-    ``nms_radius`` is accepted for call-site symmetry with superpoint_dense
-    but does not change the selection.
 
     Args:
       scores: (B, H, W) f32 NMS'd heatmap (H, W may include right/bottom
@@ -337,7 +334,6 @@ def superpoint_extract(
         remove_borders,
         true_width,
         true_height,
-        nms_radius=nms_radius,
     )
 
 

@@ -77,7 +77,6 @@ def _frontend_core(
         remove_borders,
         true_width,
         true_height,
-        nms_radius=nms_radius,
     )
     kl, kr = kpts[0::2], kpts[1::2]  # (S, K, 2)
     dl, dr = desc[0::2], desc[1::2]

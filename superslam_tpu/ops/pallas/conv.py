@@ -283,53 +283,21 @@ def _pool_conv_b_loop(a_ref, wb_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interio
         o_ref[0, :, p, :] = y_ref[p]
 
 
-def _conv1a1b_pool_kernel(
-    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt
-):
-    """conv1a + ReLU + conv1b + ReLU + vertical half of the 2x2 max-pool.
-
-    One grid step emits 8 POOLED rows (16 conv rows): the row pair is
-    max-combined in registers on the way out, so the full-res conv1b map
-    never exists in HBM (XLA's reduce_window on it measured ~5x off
-    bandwidth). The input is the 16-row-padded "deep" canvas so interior
-    fetches (rows 16i-8..16i+23) never clamp; the 8-row top/bottom pad
-    blocks of the standard-output canvas are written as zeros."""
-    i = pl.program_id(1)
-    interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
-    xr = x_ref[0, 0].astype(jnp.float32)  # (32, Wp)
-    col1 = None
-
-    for l in range(7, 25):  # conv1a rows for conv rows 16i-8+8..16i-8+24
-        z3 = jax.lax.dot_general(
-            wa_ref[:],  # (3*C_mid, 3)
-            xr[l - 1 : l + 2, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = (
-            _shift_out(z3[:c_mid], 0)
-            + z3[c_mid : 2 * c_mid]
-            + _shift_out(z3[2 * c_mid :], 2)
-        )
-        a = jnp.maximum(acc + ba_ref[:], 0.0)
-        if col1 is None:
-            col1 = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
-        row = 16 * i - 8 + l  # deep-canvas row of this conv1a value
-        row_ok = jnp.logical_and(row >= 2 * PAD_ROWS, row < hp_deep - 2 * PAD_ROWS)
-        a = jnp.where(jnp.logical_and(col1 < w_img, row_ok), a, 0.0)
-        a_ref[l - 7] = a.astype(cdt)
-
-    _pool_conv_b_loop(
-        a_ref, wb_ref, bb_ref, o_ref, y_ref,
-        wp=wp, c_out=c_out, interior=interior, col=col1, w_img=w_img,
-    )
-
-
 def _conv_pair_pool_kernel(
     x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt
 ):
-    """conv_a + ReLU + conv_b + ReLU + vertical pool for C_in-channel deep
-    canvases (the conv2a+conv2b+pool stage); see _conv1a1b_pool_kernel."""
+    """conv_a + ReLU + conv_b + ReLU + vertical half of the 2x2 max-pool.
+
+    One grid step emits 8 POOLED rows (16 conv rows): the row pair is
+    max-combined in registers on the way out, so the full-res conv_b map
+    never exists in HBM (XLA's reduce_window on it measured ~5x off
+    bandwidth). The input is the 16-row-padded "deep" canvas so interior
+    fetches (rows 16i-8..16i+23) never clamp; the 8-row top/bottom pad
+    blocks of the standard-output canvas are written as zeros.
+
+    Serves both fused pairs: conv2a+conv2b (C_in=64, bf16 blocks) and
+    conv1a+conv1b (C_in=1: the dy-concat degenerates to a (3, Wp) row band;
+    the wrapper keeps the 1-channel image and its weights f32)."""
     i = pl.program_id(1)
     interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
     xb = x_ref[0]  # (C_in, 32, Wp)
@@ -509,12 +477,16 @@ def conv1a1b_chw(
         assert hp % 16 == 0, hp
         from jax.experimental.pallas import tpu as pltpu
 
-        xd = jnp.pad(x.astype(cdt), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0)))
+        # Shared pooled kernel (C_in=1); image rows and conv1a weights
+        # stay f32 (wak is f32 above).
+        xd = jnp.pad(
+            x.astype(jnp.float32), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0))
+        )
         hp_deep = hp + 2 * PAD_ROWS
         n_blocks = hp_deep // 16
         return pl.pallas_call(
             functools.partial(
-                _conv1a1b_pool_kernel,
+                _conv_pair_pool_kernel,
                 wp=wp, c_mid=c_mid, c_out=c_out, w_img=w_img,
                 n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt,
             ),

@@ -261,8 +261,29 @@ def _row2(v, n):
     return v.reshape(1, n).astype(jnp.float32)
 
 
+def augment_fused_layer_params(params, dtype=jnp.bfloat16, num_layers=9):
+    """Return a params dict with the fused kernels' permuted weights
+    precomputed under ``<prefix>.__fused`` keys. Called once at pipeline /
+    matcher construction so the per-layer column permutations and casts run
+    at load time, not inside every traced forward (~18 gather+cast passes
+    over ~1.5 MB of parameters per matcher call otherwise). Inference-only:
+    the training path keeps the raw torch-layout dict."""
+    if "transformers.0.self_attn.Wqkv.weight" not in params:
+        return params  # stub/partial params: leave untouched
+    out = dict(params)
+    for i in range(num_layers):
+        sp = f"transformers.{i}.self_attn"
+        cp = f"transformers.{i}.cross_attn"
+        out[f"{sp}.__fused"] = prep_self_weights(params, sp, dtype)
+        out[f"{cp}.__fused"] = prep_cross_weights(params, cp, dtype)
+    return out
+
+
 def prep_self_weights(params, prefix, dtype):
     """Kernel operand list for one self-attention block."""
+    pre = params.get(f"{prefix}.__fused")
+    if pre is not None and pre[0].dtype == dtype:
+        return pre
     p = params
     wqkv = jnp.asarray(p[f"{prefix}.Wqkv.weight"])[:, _QKV_PERM].astype(dtype)
     bqkv = _row2(jnp.asarray(p[f"{prefix}.Wqkv.bias"])[_QKV_PERM], 3 * DIM)
@@ -281,6 +302,9 @@ def prep_self_weights(params, prefix, dtype):
 
 
 def prep_cross_weights(params, prefix, dtype):
+    pre = params.get(f"{prefix}.__fused")
+    if pre is not None and pre[0].dtype == dtype:
+        return pre
     p = params
     wqk = jnp.asarray(p[f"{prefix}.to_qk.weight"])[:, _HEAD_PERM].astype(dtype)
     bqk = _row2(jnp.asarray(p[f"{prefix}.to_qk.bias"])[_HEAD_PERM], DIM)

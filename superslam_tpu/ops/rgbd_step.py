@@ -63,7 +63,6 @@ def fused_rgbd_step(
         remove_borders,
         true_width,
         true_height,
-        nms_radius=nms_radius,
     )
     kl, dl, vl = kpts[0], desc[0], valid[0]
 
@@ -134,7 +133,6 @@ def fused_rgbd_step_multi(
         remove_borders,
         true_width,
         true_height,
-        nms_radius=nms_radius,
     )
 
     scale = max(true_width, true_height) / 2.0

@@ -42,8 +42,7 @@ def batched_stereo_frontend(
     images = jnp.concatenate([left, right], axis=0)  # (2S, H, W)
     scores, desc_grid = superpoint_dense(sp_params, images)
     kpts, kp_scores, valid, desc = select_keypoints(
-        scores, desc_grid, max_keypoints, keypoint_threshold, remove_borders,
-        nms_radius=4,
+        scores, desc_grid, max_keypoints, keypoint_threshold, remove_borders
     )
     kl, kr = kpts[:s], kpts[s:]
     dl, dr = desc[:s], desc[s:]
