@@ -125,22 +125,33 @@ def main() -> None:
     idx = N_WARMUP
     bench_start = time.perf_counter()
     t_win = bench_start
-    for w in range(3):
+    w = 0
+    while True:
         for _ in range(win):
             l, r = frames[idx % len(frames)]
             t0 = time.perf_counter()
             tracker.track(l, r, 0.1 * idx)
             lat.append(time.perf_counter() - t0)
             idx += 1
-        if w == 2:
-            tracker.flush()  # the tail drain belongs to the measured run
         now = time.perf_counter()
         window_fps.append(win / (now - t_win))
         t_win = now
-        # Deep slow phase (link degraded): stop burning the time budget;
-        # the windows measured so far already bound the capability.
-        if now - bench_start > 180.0:
+        w += 1
+        elapsed = now - bench_start
+        if elapsed > 240.0 or w >= 6:
             break
+        if w >= 3:
+            # The link alternates fast/slow phases lasting tens of seconds
+            # (device time is constant — see the device-only line). When the
+            # measured windows disagree strongly, keep sampling (up to 6
+            # windows / 240 s) so the sustained number averages over more
+            # link weather instead of one phase; when they agree, 3 windows
+            # suffice. Symmetric: a run that started fast and turned slow
+            # extends too, pulling the number down.
+            run_fps = len(lat) / elapsed
+            if run_fps > 0.8 * max(window_fps):
+                break
+    tracker.flush()  # the tail drain belongs to the measured run
 
     lat_ms = np.array(lat) * 1e3
     fps = len(lat) / (time.perf_counter() - bench_start)
