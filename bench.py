@@ -44,7 +44,11 @@ def make_slam():
         fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, baseline=386.1448 / 718.856
     )
     sp_params = init_superpoint_params(0)
-    lg_params = init_lightglue_params(0)
+    # passthrough: identical compute to random weights, but descriptors
+    # survive the transformer so the assignment recovers true matches and
+    # the host estimator does real tracking work (fully random layers
+    # decorrelate features -> ~0 matches -> the estimator would coast).
+    lg_params = init_lightglue_params(0, passthrough=True)
     max_kp = 600  # KITTI00-02.yaml superpoint.max_keypoints
     pipeline = FusedStereoPipeline(
         sp_params,
@@ -59,18 +63,41 @@ def make_slam():
         lg_params, image_width=WIDTH, image_height=HEIGHT, max_keypoints=max_kp
     )
     estimator = VoEstimator(matcher, calib, window_size=10)
+    # Random-weight descriptors re-identify ~0.4 of the keypoints (trained
+    # weights: 0.7-0.9), so the default 0.8 covisibility gate would insert a
+    # keyframe every ~2 frames and churn the smoother at an unrealistic
+    # rate. 0.3 reproduces the reference's keyframe cadence (one per ~10
+    # frames on KITTI) under this workload.
+    estimator.set_keyframe_params(covisibility_ratio=0.3, max_frames=20)
     return pipeline, estimator
 
 
 def synth_sequence(n: int, seed: int = 0):
-    """Drifting textured pattern; right = disparity-shifted left."""
+    """Drifting textured pattern; right = disparity-shifted left.
+
+    High-contrast binary blocks + noise, not smoothed noise: random-weight
+    SuperPoint descriptors on weak texture collapse toward a common response
+    (background cosine ~0.99) and NO matcher can separate them — the
+    estimator would silently coast on constant velocity and the bench would
+    measure an idle host. Block texture keeps descriptors diverse enough
+    that the passthrough matcher recovers real correspondences and the
+    pose-solve/smoother path does representative work."""
     rng = np.random.default_rng(seed)
-    base = rng.uniform(0, 255, (HEIGHT + 64, WIDTH + 64)).astype(np.float32)
-    # Smooth the noise a little so keypoints are not all border artifacts.
-    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1) + np.roll(base, 2, 1)) / 4
+    h, w = HEIGHT + 64, WIDTH + 64
+    blocks = (
+        (rng.uniform(0, 1, (h // 8 + 1, w // 8 + 1)) > 0.5)
+        .astype(np.float32)
+        .repeat(8, 0)
+        .repeat(8, 1)[:h, :w]
+    )
+    base = np.clip(191.0 * blocks + rng.uniform(0, 64, (h, w)), 0, 255)
     frames = []
     for i in range(n):
-        dx, dy = (2 * i) % 64, (i) % 64
+        # 8-px (descriptor-cell-aligned) drift: random-weight SuperPoint
+        # descriptors only re-identify a patch when it lands on the same
+        # cell phase, so sub-cell drift would starve the track matcher the
+        # same way weak texture does. Real weights have no such constraint.
+        dx, dy = (8 * i) % 64, (8 * (i // 4)) % 64
         left = base[dy : dy + HEIGHT, dx : dx + WIDTH].astype(np.uint8)
         right = np.roll(left, -8, axis=1)
         frames.append((left, right))

@@ -383,8 +383,19 @@ def normalize_keypoints(
 # -- parameter init -----------------------------------------------------------
 
 
-def init_lightglue_params(seed: int = 0, dtype=jnp.float32) -> Params:
-    """Random init (torch-name-compatible layout) for tests/benches."""
+def init_lightglue_params(
+    seed: int = 0, dtype=jnp.float32, passthrough: bool = False
+) -> Params:
+    """Random init (torch-name-compatible layout) for tests/benches.
+
+    With ``passthrough``, the message projections (out_proj/to_out) and the
+    FFN output layers are zeroed so every transformer layer reduces to the
+    residual identity: compute is IDENTICAL (same matmuls over the same
+    shapes — zeros multiply like any weight), but descriptors survive the 9
+    layers, so the dual-softmax assignment recovers true correspondences.
+    Fully random layers decorrelate the features and yield ~0 matches,
+    which would let a benchmark's host-side estimator coast on constant
+    velocity instead of doing real tracking work."""
     rng = np.random.default_rng(seed)
     params: Params = {}
 
@@ -418,4 +429,18 @@ def init_lightglue_params(seed: int = 0, dtype=jnp.float32) -> Params:
         a = f"log_assignment.{i}"
         lin(f"{a}.final_proj", DIM, DIM)
         lin(f"{a}.matchability", DIM, 1)
+    if passthrough:
+        zero = {"out_proj", "to_out", "ffn.3"}
+        for k in list(params):
+            if any(k.endswith(f"{z}.weight") for z in zero):
+                params[k] = jnp.zeros_like(params[k])
+            elif k.endswith("final_proj.weight"):
+                # Boost the assignment logit scale: with ~unit features the
+                # default 1/sqrt(D) init gives sim ~ 1/16, which a softmax
+                # over hundreds of candidates cannot concentrate (trained
+                # checkpoints produce large-magnitude projections). Random
+                # SuperPoint descriptors are also heavily correlated
+                # (background cos ~0.9), so the boost must push the small
+                # true-pair margin well past the softmax noise floor.
+                params[k] = params[k] * 160.0
     return params
