@@ -165,13 +165,13 @@ def main() -> None:
         t_win = now
         w += 1
         elapsed = now - bench_start
-        if elapsed > 240.0 or w >= 6:
+        if elapsed > 150.0 or w >= 6:
             break
         if w >= 3:
             # The link alternates fast/slow phases lasting tens of seconds
             # (device time is constant — see the device-only line). When the
             # measured windows disagree strongly, keep sampling (up to 6
-            # windows / 240 s) so the sustained number averages over more
+            # windows / 150 s) so the sustained number averages over more
             # link weather instead of one phase; when they agree, 3 windows
             # suffice. Symmetric: a run that started fast and turned slow
             # extends too, pulling the number down.
