@@ -60,6 +60,32 @@ def test_fused_pallas_layers_match_xla(params, monkeypatch):
     assert np.abs(np.exp(v) - np.exp(g)).max() < 5e-3
 
 
+def test_passthrough_init_recovers_permutation():
+    """init_lightglue_params(passthrough=True) must recover a permuted
+    identical descriptor set (the property bench.py's real-tracking
+    workload depends on; fully random layers decorrelate features to ~0
+    matches)."""
+    from superslam_tpu.models.lightglue import extract_matches
+
+    lg = init_lightglue_params(0, passthrough=True)
+    rng = np.random.default_rng(1)
+    K = 96
+    d = rng.standard_normal((1, K, 256)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    k0 = rng.uniform(-1, 1, (1, K, 2)).astype(np.float32)
+    perm = rng.permutation(K)
+    m0 = np.ones((1, K), bool)
+    la = lightglue_forward(
+        lg, jnp.asarray(k0), jnp.asarray(d),
+        jnp.asarray(k0[:, perm] + 0.01), jnp.asarray(d[:, perm]),
+        jnp.asarray(m0), jnp.asarray(m0),
+    )
+    m, _ = extract_matches(la, jnp.asarray(m0), jnp.asarray(m0), 0.1)
+    m = np.asarray(m[0])
+    correct = sum(1 for i in range(K) if m[i] >= 0 and perm[m[i]] == i)
+    assert correct > 0.9 * K, correct
+
+
 def test_forward_shape(params):
     rng = np.random.default_rng(0)
     k0, d0, k1, d1, m0, m1 = make_inputs(rng, 32, 48)
