@@ -341,11 +341,18 @@ def extract_matches(
     m0 = jnp.argmax(p, axis=2).astype(jnp.int32)  # (B, M) minor-dim argmax
     max0 = jnp.max(p, axis=2)
     # Mutual check without the (slow on TPU) sublane-axis argmax: row i is
-    # mutual iff its max equals the column max of its chosen column — i.e.
-    # no other row beats it there. Ties are vanishingly rare in f32 logits.
+    # mutual iff it is the FIRST row achieving the column max of its chosen
+    # column. The column winner is an int min-reduce over rows that reach
+    # the column max — tie-safe (two tied rows cannot both claim a column)
+    # and identical to the reference's exact mutual argmax
+    # (src/LightGlue.cc:326-363, first-occurrence semantics).
+    m_len = p.shape[1]
     max1 = jnp.max(p, axis=1)  # (B, N) reduce, not argmax
-    col_best = jnp.take_along_axis(max1, m0, axis=1)  # (B, M)
-    mutual = max0 >= col_best
+    rows = jnp.arange(m_len, dtype=jnp.int32)
+    winner1 = jnp.min(
+        jnp.where(p >= max1[:, None, :], rows[None, :, None], m_len), axis=1
+    )  # (B, N) first row index achieving each column's max
+    mutual = jnp.take_along_axis(winner1, m0, axis=1) == rows[None, :]
     scores = jnp.exp(max0)
     valid = mutual & (scores > threshold) & mask0
     valid = valid & jnp.take_along_axis(mask1, m0, axis=1)

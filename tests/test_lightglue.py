@@ -121,6 +121,215 @@ def test_padding_invariance(params):
     assert (np.asarray(mp)[:, 24:] == -1).all()
 
 
+def test_extract_matches_tie_safety():
+    """Two rows with EXACTLY tied logits on the same column: only the first
+    row may claim it (first-occurrence mutual-argmax, matching the
+    reference's exact argmax semantics, src/LightGlue.cc:326-363)."""
+    p = np.full((1, 4, 4), -10.0, np.float32)
+    p[0, 1, 2] = np.log(0.8)  # rows 1 and 3 tie on column 2
+    p[0, 3, 2] = np.log(0.8)
+    m = np.ones((1, 4), bool)
+    matches, scores = extract_matches(jnp.asarray(p), jnp.asarray(m), jnp.asarray(m), 0.1)
+    matches = np.asarray(matches)
+    assert matches[0, 1] == 2  # first row wins the tie
+    assert matches[0, 3] == -1  # second tied row must NOT also claim col 2
+
+
+def _build_torch_lightglue(torch):
+    """cvg/LightGlue matcher-only forward in torch, with the NATIVE state-dict
+    names and layouts (including the interleaved (head, channel, qkv) Wqkv
+    packing) — the same architecture the reference exports
+    (utils/convert_lightglue_to_onnx.py:56-125). Written fresh here as the
+    independent oracle for the weight-loading contract."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    DIM, HEADS, LAYERS = 256, 4, 9
+    HEAD_DIM = DIM // HEADS
+
+    def rotate_half(t):
+        t = t.unflatten(-1, (-1, 2))
+        t1, t2 = t.unbind(dim=-1)
+        return torch.stack((-t2, t1), dim=-1).flatten(start_dim=-2)
+
+    class Posenc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Wr = nn.Linear(2, HEAD_DIM // 2, bias=False)
+
+        def forward(self, kpts):
+            proj = self.Wr(kpts)  # (B, N, 32)
+            emb = torch.stack([torch.cos(proj), torch.sin(proj)], 0)
+            return emb.unsqueeze(-3).repeat_interleave(2, dim=-1)  # (2,B,1,N,64)
+
+    def make_ffn():
+        return nn.Sequential(
+            nn.Linear(2 * DIM, 2 * DIM),
+            nn.LayerNorm(2 * DIM),
+            nn.GELU(),
+            nn.Linear(2 * DIM, DIM),
+        )
+
+    class SelfBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Wqkv = nn.Linear(DIM, 3 * DIM)
+            self.out_proj = nn.Linear(DIM, DIM)
+            self.ffn = make_ffn()
+
+        def forward(self, x, enc):
+            b, n, _ = x.shape
+            qkv = self.Wqkv(x).unflatten(-1, (HEADS, -1, 3)).transpose(1, 2)
+            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            q = q * enc[0] + rotate_half(q) * enc[1]
+            k = k * enc[0] + rotate_half(k) * enc[1]
+            sim = torch.einsum("bhid,bhjd->bhij", q, k) / HEAD_DIM**0.5
+            ctx = torch.einsum("bhij,bhjd->bhid", F.softmax(sim, -1), v)
+            msg = self.out_proj(ctx.transpose(1, 2).flatten(start_dim=-2))
+            return x + self.ffn(torch.cat([x, msg], -1))
+
+    class CrossBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_qk = nn.Linear(DIM, DIM)
+            self.to_v = nn.Linear(DIM, DIM)
+            self.to_out = nn.Linear(DIM, DIM)
+            self.ffn = make_ffn()
+
+        def forward(self, x0, x1):
+            def heads(t):
+                return t.unflatten(-1, (HEADS, -1)).transpose(1, 2)
+
+            qk0, qk1 = heads(self.to_qk(x0)), heads(self.to_qk(x1))
+            v0, v1 = heads(self.to_v(x0)), heads(self.to_v(x1))
+            sim = torch.einsum("bhid,bhjd->bhij", qk0, qk1) / HEAD_DIM**0.5
+            m0 = torch.einsum("bhij,bhjd->bhid", F.softmax(sim, -1), v1)
+            m1 = torch.einsum(
+                "bhji,bhjd->bhid", F.softmax(sim.transpose(-2, -1), -1).transpose(-2, -1), v0
+            )
+
+            def out(t):
+                return self.to_out(t.transpose(1, 2).flatten(start_dim=-2))
+
+            x0 = x0 + self.ffn(torch.cat([x0, out(m0)], -1))
+            x1 = x1 + self.ffn(torch.cat([x1, out(m1)], -1))
+            return x0, x1
+
+    class TransformerLayer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.self_attn = SelfBlock()
+            self.cross_attn = CrossBlock()
+
+    class MatchAssignment(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.matchability = nn.Linear(DIM, 1)
+            self.final_proj = nn.Linear(DIM, DIM)
+
+        def forward(self, x0, x1):
+            d0, d1 = self.final_proj(x0), self.final_proj(x1)
+            s = DIM**0.25
+            sim = torch.einsum("bmd,bnd->bmn", d0 / s, d1 / s)
+            z0 = F.logsigmoid(self.matchability(x0))  # (B, M, 1)
+            z1 = F.logsigmoid(self.matchability(x1))
+            return F.log_softmax(sim, 2) + F.log_softmax(
+                sim.transpose(-1, -2), 2
+            ).transpose(-1, -2) + z0 + z1.transpose(1, 2)
+
+    class TokenConfidence(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.token = nn.Sequential(nn.Linear(DIM, 1), nn.Sigmoid())
+
+    class Matcher(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_proj = nn.Linear(DIM, DIM)
+            self.posenc = Posenc()
+            self.transformers = nn.ModuleList(TransformerLayer() for _ in range(LAYERS))
+            self.log_assignment = nn.ModuleList(MatchAssignment() for _ in range(LAYERS))
+            # Present in real checkpoints (early-exit head, unused here).
+            self.token_confidence = nn.ModuleList(
+                TokenConfidence() for _ in range(LAYERS - 1)
+            )
+
+        def forward(self, kpts0, desc0, kpts1, desc1):
+            x0, x1 = self.input_proj(desc0), self.input_proj(desc1)
+            e0, e1 = self.posenc(kpts0), self.posenc(kpts1)
+            for layer in self.transformers:
+                x0 = layer.self_attn(x0, e0)
+                x1 = layer.self_attn(x1, e1)
+                x0, x1 = layer.cross_attn(x0, x1)
+            return self.log_assignment[-1](x0, x1)
+
+    def filter_matches(scores, th):
+        # The reference engine's exact mutual argmax (src/LightGlue.cc:326-363).
+        max0, max1 = scores.max(2), scores.max(1)
+        m0 = max0.indices
+        idx0 = torch.arange(m0.shape[1])[None]
+        mutual0 = idx0 == max1.indices.gather(1, m0)
+        mscores0 = torch.where(mutual0, max0.values.exp(), torch.zeros(()))
+        valid0 = mutual0 & (mscores0 > th)
+        return torch.where(valid0, m0, -1), mscores0
+
+    return Matcher().eval(), filter_matches
+
+
+def test_parity_with_torch_reference_architecture(tmp_path):
+    """The full weight contract, end to end: a torch cvg/LightGlue state
+    dict (native names/layouts, interleaved Wqkv) saved as .pth, loaded
+    through models/weights.load_params, must reproduce the torch forward's
+    log-assignment and matches (VERDICT r2 item 1)."""
+    torch = pytest.importorskip("torch")
+
+    from superslam_tpu.models.weights import load_params
+
+    torch.manual_seed(0)
+    model, filter_matches = _build_torch_lightglue(torch)
+    path = str(tmp_path / "lightglue.pth")
+    torch.save(model.state_dict(), path)
+    params = load_params(path, fallback=lambda: (_ for _ in ()).throw(AssertionError))
+
+    rng = np.random.default_rng(7)
+    n0, n1 = 56, 48
+    k0 = rng.uniform(-1, 1, (1, n0, 2)).astype(np.float32)
+    k1 = rng.uniform(-1, 1, (1, n1, 2)).astype(np.float32)
+    d0 = rng.standard_normal((1, n0, 256)).astype(np.float32)
+    d1 = rng.standard_normal((1, n1, 256)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        la_t = model(
+            torch.from_numpy(k0), torch.from_numpy(d0.copy()),
+            torch.from_numpy(k1), torch.from_numpy(d1.copy()),
+        )
+        mt0, st0 = filter_matches(la_t, 0.0)
+
+    m0 = jnp.asarray(np.ones((1, n0), bool))
+    m1 = jnp.asarray(np.ones((1, n1), bool))
+    la_j = lightglue_forward(
+        params, jnp.asarray(k0), jnp.asarray(d0), jnp.asarray(k1), jnp.asarray(d1),
+        m0, m1, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(la_j), la_t.numpy(), atol=2e-4,
+        err_msg="log-assignment diverged from the torch oracle",
+    )
+    # Match extraction parity at threshold 0 (every mutual pair counts —
+    # untrained weights rarely clear 0.1) and at the production 0.1.
+    for th in (0.0, 0.1):
+        mj, sj = extract_matches(la_j, m0, m1, th)
+        with torch.no_grad():
+            mt, st = filter_matches(la_t, th)
+        np.testing.assert_array_equal(np.asarray(mj)[0], mt.numpy()[0])
+        valid = mt.numpy()[0] >= 0
+        np.testing.assert_allclose(
+            np.asarray(sj)[0][valid], st.numpy()[0][valid], atol=1e-5
+        )
+
+
 def test_extract_matches_semantics():
     """Hand-built log-assignment: mutual-argmax + threshold + masks."""
     p = np.full((1, 3, 3), -10.0, np.float32)
