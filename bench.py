@@ -9,6 +9,13 @@ with the KITTI00 config's max_keypoints=600 front-end. The reference's
 KITTI 00 number on its RTX PRO 1000 / TensorRT FP16 baseline is 79 fps
 (BASELINE.md), which is what ``vs_baseline`` is measured against.
 
+Measurement: 15 s of unmeasured sustained tracking settles the host link
+past its initial transient, then the value is the whole-run sustained rate
+over a further 135 s — long enough to average over several of the link's
+fast/slow phases (each lasting tens of seconds, server-side; see the
+window diagnostic on stderr). Device time is phase-independent and is
+reported separately by differencing two on-device scan lengths.
+
 Frames are synthetic (no datasets are bundled in this environment): a
 textured random pattern, right image disparity-shifted, a slow drift over
 time so frame-to-keyframe matching runs the real code path. Model weights
@@ -29,7 +36,7 @@ import numpy as np
 BASELINE_FPS = 79.0  # reference KITTI 00, README.md:23
 WIDTH, HEIGHT = 1241, 376
 N_WARMUP = 5
-N_FRAMES = 120
+N_FRAMES = 120  # distinct synthetic frames; the run cycles through them
 
 
 def make_slam():
@@ -140,51 +147,54 @@ def main() -> None:
         tracker.track(l, r, 0.1 * i)
     tracker.flush()
 
-    # Several measurement windows spread over ~a minute. The REPORTED value
-    # is the whole-run sustained rate (all measured frames over total
-    # in-window wall time); per-window rates are printed as a diagnostic —
-    # the host tunnel alternates between fast and slow phases lasting tens
-    # of seconds (device time is constant throughout — see the device-only
-    # line), so the window spread shows link weather vs capability.
+    # Methodology (r3): the host tunnel alternates between fast and slow
+    # phases lasting tens of seconds, and sustained load itself degrades the
+    # link over the first seconds (both server-side: pacing experiments in
+    # scripts/profile_pacing.py refuted a client-side cause; device time is
+    # constant throughout — see the device-only line). A short measurement
+    # therefore samples ONE phase and recorded 20-56 fps for the identical
+    # build (round 2). So: (1) a fixed settle phase of sustained tracking,
+    # unmeasured, carries the link past the initial burst/transient; (2) the
+    # measurement then runs the FULL budget unconditionally — ~10 phase-
+    # length windows — and the reported value is the whole-run sustained
+    # rate (frames / wall time, tail drain included). Per-window rates are
+    # printed as the link-weather diagnostic.
+    SETTLE_S, MEASURE_S, WIN_S = 15.0, 135.0, 10.0
+    idx = N_WARMUP
+    t_end = time.perf_counter() + SETTLE_S
+    while time.perf_counter() < t_end:
+        l, r = frames[idx % len(frames)]
+        tracker.track(l, r, 0.1 * idx)
+        idx += 1
+
     lat = []
     window_fps = []
-    win = 40
-    idx = N_WARMUP
     bench_start = time.perf_counter()
     t_win = bench_start
-    w = 0
+    win_n = 0
     while True:
-        for _ in range(win):
-            l, r = frames[idx % len(frames)]
-            t0 = time.perf_counter()
-            tracker.track(l, r, 0.1 * idx)
-            lat.append(time.perf_counter() - t0)
-            idx += 1
+        l, r = frames[idx % len(frames)]
+        t0 = time.perf_counter()
+        tracker.track(l, r, 0.1 * idx)
         now = time.perf_counter()
-        window_fps.append(win / (now - t_win))
-        t_win = now
-        w += 1
-        elapsed = now - bench_start
-        if elapsed > 150.0 or w >= 6:
+        lat.append(now - t0)
+        idx += 1
+        win_n += 1
+        if now - t_win >= WIN_S:
+            window_fps.append(win_n / (now - t_win))
+            t_win, win_n = now, 0
+        if now - bench_start >= MEASURE_S:
             break
-        if w >= 3:
-            # The link alternates fast/slow phases lasting tens of seconds
-            # (device time is constant — see the device-only line). When the
-            # measured windows disagree strongly, keep sampling (up to 6
-            # windows / 150 s) so the sustained number averages over more
-            # link weather instead of one phase; when they agree, 3 windows
-            # suffice. Symmetric: a run that started fast and turned slow
-            # extends too, pulling the number down.
-            run_fps = len(lat) / elapsed
-            if run_fps > 0.8 * max(window_fps):
-                break
     tracker.flush()  # the tail drain belongs to the measured run
+    if win_n:
+        window_fps.append(win_n / (time.perf_counter() - t_win))
 
     lat_ms = np.array(lat) * 1e3
     fps = len(lat) / (time.perf_counter() - bench_start)
     print(
-        f"[bench] windows: {[round(f, 1) for f in window_fps]} fps "
-        f"(best {max(window_fps):.1f})",
+        f"[bench] windows ({WIN_S:.0f}s each): "
+        f"{[round(f, 1) for f in window_fps]} fps "
+        f"(spread {min(window_fps):.1f}-{max(window_fps):.1f})",
         file=sys.stderr,
     )
     print(
