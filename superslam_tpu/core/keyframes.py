@@ -67,6 +67,17 @@ class KeyframeDatabase:
                 old = self._device_resident.pop(0)
                 d = old.descriptors_left
                 old.descriptors_left = np.asarray(d.desc, np.float32)[: d.n]
+            if 0 < self._device_budget <= len(self._device_resident):
+                # Pre-arrange the next demotion's D2H now: a non-prearranged
+                # np.asarray on this link pays the full ~30 ms RTT on the
+                # loop worker thread; after copy_to_host_async the later
+                # fetch is ~0.1 ms. The head only changes on eviction, so
+                # each record is prearranged once.
+                head = self._device_resident[0].descriptors_left
+                try:
+                    head.desc.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
 
     def get(self, keyframe_id: int) -> KeyframeRecord:
         return self._records[self._id_to_index[keyframe_id]]

@@ -278,6 +278,12 @@ class VoEstimator:
                 # Solved on device in the fused program against the same
                 # keyframe world points (see frontend.pipelined); the host
                 # LM would converge to the same optimum from its prior.
+                # The device program applies the same min_matches coast gate
+                # to ITS OWN usable-match count (stereo/depth gates evaluated
+                # on device), which can differ by a few from n_matches here
+                # right at the gate boundary; on such frames the adopted pose
+                # is the device's solve/coast decision — an intentional
+                # divergence (both paths coast below their gate either way).
                 frame_pose = device_pose
             else:
                 Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))

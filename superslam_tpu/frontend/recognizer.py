@@ -20,12 +20,26 @@ from ..utils.profiler import profile_scope
 
 class EigenPlacesRecognizer:
     def __init__(self, params, image_size: int = 512, min_score: float | None = None):
+        import os
+
         self.params = params
         self.image_size = int(image_size)
         self.min_score = env_float(
             "SUPERSLAM_LOOP_MIN_SCORE", 0.75 if min_score is None else min_score
         )
-        self.index = CosineDescriptorIndex()
+        # SUPERSLAM_DEVICE_RETRIEVAL=1 keeps the retrieval database
+        # HBM-resident (ops.retrieval ring buffer, bounded by
+        # SUPERSLAM_RETRIEVAL_CAPACITY): the scan runs as one jitted GEMM +
+        # top-k instead of the host GEMM that grows O(#keyframes)
+        # (src/PlaceRecognizer.cc:26-52). Default stays on host — the
+        # database is small and the worker is off the critical path.
+        if os.environ.get("SUPERSLAM_DEVICE_RETRIEVAL", "") not in ("", "0", "false"):
+            from ..ops.retrieval import DeviceCosineIndex
+
+            cap = int(env_float("SUPERSLAM_RETRIEVAL_CAPACITY", 4096))
+            self.index = DeviceCosineIndex(capacity=cap, dim=512)
+        else:
+            self.index = CosineDescriptorIndex()
 
     def compute_global_descriptor(self, image: np.ndarray) -> np.ndarray:
         with profile_scope("ep_descriptor"):
@@ -57,6 +71,11 @@ class EigenPlacesRecognizer:
     def query(
         self, global_descriptor: np.ndarray, exclude_recent: int, top_k: int
     ) -> list[LoopCandidate]:
-        return self.index.query(
+        res = self.index.query(
             global_descriptor, exclude_recent, top_k, self.min_score
         )
+        # The device index returns bare (id, score) tuples.
+        return [
+            c if isinstance(c, LoopCandidate) else LoopCandidate(int(c[0]), float(c[1]))
+            for c in res
+        ]

@@ -119,7 +119,7 @@ def _pallas_attn_wanted() -> bool:
     v = os.environ.get("SUPERSLAM_PALLAS_ATTN")
     if v is not None:
         return v not in ("0", "", "false")
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def _pallas_layer_wanted() -> bool:
@@ -138,7 +138,7 @@ def _pallas_layer_wanted() -> bool:
     a = os.environ.get("SUPERSLAM_PALLAS_ATTN")
     if a is not None and a in ("0", "", "false"):
         return False
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def _forward_pallas_layers(params, x, kpts, mask, compute_dtype, interpret=False):

@@ -61,13 +61,15 @@ def _pallas_convs_wanted() -> bool:
     """Whether the large-spatial-extent encoder convs route through the
     Pallas kernels (ops/pallas/conv.py). Default: on for TPU backends, off
     on CPU (where the XLA conv path is the oracle and interpret-mode Pallas
-    is orders of magnitude slower). SUPERSLAM_PALLAS_CONV=0/1 overrides."""
+    is orders of magnitude slower). SUPERSLAM_PALLAS_CONV=0/1 overrides.
+    The kernels are Mosaic (TPU)-only, so any other backend (gpu, a future
+    plugin) takes the XLA path."""
     import os
 
     v = os.environ.get("SUPERSLAM_PALLAS_CONV")
     if v is not None:
         return v not in ("0", "", "false")
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def _front_convs_pallas(

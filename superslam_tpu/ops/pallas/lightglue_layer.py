@@ -323,10 +323,6 @@ def prep_cross_weights(params, prefix, dtype):
     return [wqk, bqk, wv, bv, wout, bout, w0x, w0m, b0, g, be, w3, b3]
 
 
-def _full(spec_shape):
-    return pl.BlockSpec(spec_shape, lambda b: tuple(0 for _ in spec_shape))
-
-
 def _wspecs(shapes):
     return [
         pl.BlockSpec(s, functools.partial(lambda b, _n=len(s): (0,) * _n))

@@ -20,39 +20,65 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",), donate_argnums=())
-def _query(db, ids, size, query, exclude_recent, min_score, top_k: int):
+def _query(db, ids, ins, size, query, exclude_recent, min_score, top_k: int):
     q = query / jnp.maximum(jnp.linalg.norm(query), 1e-12)
     scores = db @ q  # (cap,)
     limit = size - exclude_recent
-    pos = jnp.arange(db.shape[0])
-    valid = (pos < limit) & (scores >= min_score)
+    # ins = insertion index per physical row (-1 = never written); after
+    # wraparound each row holds its slot's NEWEST insertion, so masking on
+    # ins alone is complete — no stale rows exist.
+    valid = (ins >= 0) & (ins < limit) & (scores >= min_score)
     masked = jnp.where(valid, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(masked, top_k)
     return top_scores, ids[top_idx]
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _ring_add(db, ids, ins, row, kid, i, r):
+    """In-place (donated) ring write: an O(dim) dynamic-slice update, not a
+    fresh O(capacity*dim) buffer per keyframe add."""
+    db = jax.lax.dynamic_update_slice(db, row[None], (r, jnp.int32(0)))
+    ids = jax.lax.dynamic_update_index_in_dim(ids, kid, r, 0)
+    ins = jax.lax.dynamic_update_index_in_dim(ins, i, r, 0)
+    return db, ids, ins
+
+
 class DeviceCosineIndex:
-    """Fixed-capacity insertion-ordered cosine index on device."""
+    """Fixed-capacity cosine RING index on device: past `capacity` inserts,
+    the oldest entry is overwritten (the map's distant history ages out of
+    retrieval; SURVEY §5.7's bounded-database replacement for the
+    reference's unbounded host GEMM)."""
 
     def __init__(self, capacity: int = 4096, dim: int = 512):
         self.capacity = capacity
         self._db = jnp.zeros((capacity, dim), jnp.float32)
         self._ids = jnp.zeros((capacity,), jnp.int32)
+        self._ins = jnp.full((capacity,), -1, jnp.int32)
         self._size = 0
 
     def __len__(self) -> int:
+        return min(self._size, self.capacity)
+
+    @property
+    def total_added(self) -> int:
+        """Lifetime insertions (> capacity once the ring has wrapped)."""
         return self._size
 
     def add(self, keyframe_id: int, descriptor: np.ndarray) -> None:
-        if self._size >= self.capacity:
-            raise RuntimeError("DeviceCosineIndex capacity exceeded")
         d = np.asarray(descriptor, np.float32).reshape(-1)
         n = float(np.linalg.norm(d))
         if n > 1e-12:
             d = d / n
-        # Functional update keeps the buffer HBM-resident.
-        self._db = self._db.at[self._size].set(jnp.asarray(d))
-        self._ids = self._ids.at[self._size].set(keyframe_id)
+        r = self._size % self.capacity
+        self._db, self._ids, self._ins = _ring_add(
+            self._db,
+            self._ids,
+            self._ins,
+            jnp.asarray(d),
+            jnp.int32(keyframe_id),
+            jnp.int32(self._size),
+            jnp.int32(r),
+        )
         self._size += 1
 
     def query(
@@ -65,10 +91,11 @@ class DeviceCosineIndex:
         """Returns [(keyframe_id, score)] sorted descending, filtered."""
         if self._size == 0 or self._size <= exclude_recent:
             return []
-        k = min(top_k if top_k > 0 else self._size, self.capacity)
+        k = min(top_k if top_k > 0 else self.capacity, self.capacity)
         scores, ids = _query(
             self._db,
             self._ids,
+            self._ins,
             jnp.int32(self._size),
             jnp.asarray(np.asarray(descriptor, np.float32).reshape(-1)),
             jnp.int32(exclude_recent),
@@ -79,6 +106,13 @@ class DeviceCosineIndex:
         ids = np.asarray(ids)
         keep = np.isfinite(scores)
         return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sharded_add(db, ids, row, kid, r):
+    db = jax.lax.dynamic_update_slice(db, row[None], (r, jnp.int32(0)))
+    ids = jax.lax.dynamic_update_index_in_dim(ids, kid, r, 0)
+    return db, ids
 
 
 class ShardedCosineIndex:
@@ -126,9 +160,12 @@ class ShardedCosineIndex:
         # r // (cap/n)); recency masking therefore uses the PHYSICAL row
         # index mapped back to insertion order via _ids — simplest correct
         # scheme: write round-robin so insertion index == logical recency.
+        # Donated dynamic-slice write: in-place per-shard update, no
+        # O(capacity*dim) rebuild or resharding per keyframe add.
         r = self._phys_row(self._size)
-        self._db = self._db.at[r].set(jnp.asarray(d))
-        self._ids = self._ids.at[r].set(keyframe_id)
+        self._db, self._ids = _sharded_add(
+            self._db, self._ids, jnp.asarray(d), jnp.int32(keyframe_id), jnp.int32(r)
+        )
         self._size += 1
 
     def _phys_row(self, i: int) -> int:

@@ -49,4 +49,4 @@ def device_tracker_wanted() -> bool:
         return v not in ("", "0", "false", "False")
     import jax
 
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"

@@ -1,0 +1,148 @@
+"""Long-run loop-closure stress (VERDICT r2 item 6): several hundred frames
+over a multi-lap circuit with repeated revisits, driven through the REAL
+async worker, with the device retrieval ring buffer (ops.retrieval) on the
+loop path and exercised past wraparound.
+
+Mirrors the reference's integration strategy (tests/test_vo_loop_closure.cc)
+at the scale of src/VoEstimator.cc:140-173 / src/PlaceRecognizer.cc:26-52:
+multiple accepted loops, anchor continuity under rebase-free correction,
+bounded pose-graph solve time as the graph grows, and retrieval correctness
+after the ring overwrote its oldest entries.
+"""
+
+import time
+
+import numpy as np
+
+from superslam_tpu.core.loop_closer import LoopCloser, LoopParams
+from superslam_tpu.core.place_recognition import LoopCandidate
+from superslam_tpu.core.vo_estimator import VoEstimator
+from superslam_tpu.geometry import Pose3
+from superslam_tpu.ops.retrieval import DeviceCosineIndex
+
+from helpers import IdentityMatcher, make_calib, make_frame, place_desc
+
+
+class DeviceStubRecognizer:
+    """StubRecognizer over the HBM-resident ring index: the 'global
+    descriptor' IS the image row the test passes, retrieval runs the real
+    jitted masked GEMM + top-k on the loop worker thread."""
+
+    def __init__(self, capacity: int, dim: int, min_score: float = 0.5):
+        self.index = DeviceCosineIndex(capacity=capacity, dim=dim)
+        self._min_score = min_score
+
+    def compute_global_descriptor(self, image):
+        return np.asarray(image, dtype=np.float32).reshape(-1)
+
+    def add(self, keyframe_id, d):
+        self.index.add(keyframe_id, d)
+
+    def query(self, d, exclude_recent, top_k):
+        res = self.index.query(d, exclude_recent, top_k, self._min_score)
+        return [LoopCandidate(i, s) for i, s in res]
+
+
+def circuit_path(n_frames: int, laps: int, radius: float = 2.0):
+    """A closed x-y circle walked `laps` times; every frame sees the same
+    far wall (the identity matcher's requirement)."""
+    per_lap = n_frames // laps
+    pts = []
+    for i in range(n_frames):
+        a = 2 * np.pi * (i % per_lap) / per_lap
+        pts.append(np.array([radius * np.cos(a), radius * np.sin(a), 0.0]))
+    return pts, per_lap
+
+
+def test_multi_lap_loops_through_async_worker_with_device_ring():
+    rng = np.random.default_rng(0)
+    calib = make_calib()
+    lms = rng.uniform([-40, -30, 60], [40, 30, 90], size=(40, 3))
+    matcher = IdentityMatcher(len(lms))
+    vo = VoEstimator(matcher, calib, window_size=5)
+    vo.set_keyframe_params(0.8, 3)  # keyframe every ~3 frames
+
+    n_frames, laps = 300, 3
+    path, per_lap = circuit_path(n_frames, laps)
+    n_places = 10  # circuit sectors; each lap revisits all of them
+
+    # Ring capacity 64 < ~100 keyframes: the buffer MUST wrap during lap 2-3
+    # while still holding the full previous lap (~33 keyframes).
+    recognizer = DeviceStubRecognizer(capacity=64, dim=n_places, min_score=0.5)
+    params = LoopParams(
+        required_votes=2,
+        id_tolerance=6,
+        exclude_recent=12,  # excludes the same-lap sector neighbours
+        min_score=0.5,
+        min_inliers=8,
+    )
+    vo.enable_loop_closure(
+        LoopCloser(matcher, calib, recognizer, params), async_=True
+    )
+
+    est = []
+    solve_times = []
+    for i, p in enumerate(path):
+        f = make_frame(Pose3(t=p), lms, calib, 0.1 * i)
+        sector = (i % per_lap) * n_places // per_lap
+        t0 = time.perf_counter()
+        est.append(vo.track(f, place_desc(sector, dim=n_places)))
+        solve_times.append(time.perf_counter() - t0)
+    # Let the worker drain, then join.
+    for _ in range(600):
+        if vo.loop_closure_count() >= 3:
+            break
+        time.sleep(0.01)
+    vo.stop_loop_worker()
+
+    # Multiple distinct revisits accepted (laps 2 and 3 each revisit every
+    # sector; the voter + verifier must accept repeatedly, not once).
+    assert vo.loop_closure_count() >= 3, vo.loop_closure_count()
+
+    # The ring wrapped on the loop path and retrieval kept working after.
+    assert recognizer.index.total_added > recognizer.index.capacity
+    assert len(recognizer.index) == recognizer.index.capacity
+
+    # Anchor continuity: rebase-free correction means no pose step may jump
+    # (physical steps on the circuit are ~0.13 m; 1 m = a rebase bug).
+    for i in range(1, len(est)):
+        step = np.linalg.norm(est[i].t - est[i - 1].t)
+        assert step < 1.0, f"discontinuity at frame {i}: {step}"
+        assert est[i].is_finite()
+
+    # Corrected trajectory: finite, bounded, full length.
+    traj = vo.corrected_trajectory()
+    assert len(traj) == n_frames
+    for p in traj:
+        assert p.is_finite() and p.translation_norm() < 50.0
+
+    # Pose-graph growth stays bounded: the per-frame track cost in the last
+    # lap (graph at ~100 nodes, several loop edges) must not blow up vs the
+    # first lap. Generous 20x bound — this catches quadratic/runaway solve
+    # growth, not scheduler noise.
+    first = np.median(solve_times[: per_lap])
+    last = np.median(solve_times[-per_lap:])
+    assert last < 20 * max(first, 1e-4), (first, last)
+
+
+def test_ring_wraparound_retrieval_semantics():
+    """Unit pin for the wraparound contract: entries older than capacity
+    age out, newer ones remain queryable, recency exclusion still works."""
+    idx = DeviceCosineIndex(capacity=8, dim=4)
+    for i in range(12):  # wraps: insertions 0-3 overwritten
+        d = np.zeros(4, np.float32)
+        d[i % 4] = 1.0
+        idx.add(100 + i, d)
+    assert idx.total_added == 12 and len(idx) == 8
+
+    q = np.zeros(4, np.float32)
+    q[0] = 1.0  # matches insertions 0, 4, 8 -> only 4 and 8 survive the ring
+    res = idx.query(q, exclude_recent=0, top_k=8, min_score=0.9)
+    ids = sorted(i for i, _ in res)
+    assert ids == [104, 108], ids
+
+    # Recency exclusion counts INSERTIONS, not ring slots: excluding the
+    # last 4 insertions (8-11) hides 108.
+    res = idx.query(q, exclude_recent=4, top_k=8, min_score=0.9)
+    ids = sorted(i for i, _ in res)
+    assert ids == [104], ids
