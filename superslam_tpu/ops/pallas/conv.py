@@ -235,44 +235,53 @@ def _pool_rows_spec(c_in, hp_deep):
     return spec
 
 
-def _pool_conv_b_loop(a_ref, wb_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interior, col, w_img):
+def _pool_conv_b_loop(a_ref, wb2_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interior, col, w_img):
     """Shared second-conv + vertical-pool loop of the pooled kernels.
 
     a_ref: (18, C_mid, Wp) VMEM scratch holding conv_a rows at indices
-    0..17 (conv row local c uses a-rows c-8+..; see callers). A
-    lax.fori_loop (NOT an unrolled Python loop) bounds liveness to one
-    iteration's matmul temporaries — fully unrolled, Mosaic keeps all 16
-    (3*C_out, Wp) f32 products live at once and blows the 16 MB scoped
-    VMEM stack at Wp=1280. Pooled rows land in the (8, C_out, Wp) y_ref
-    scratch (dynamic MAJOR-dim stores are legal; dynamic second-minor
-    stores into o_ref must be 8-aligned) and copy out statically."""
+    0..17. Each pooled output row p max-combines conv rows (2p, 2p+1) —
+    computed as ONE joint matmul: the two rows' dy windows overlap
+    (a-rows 2p..2p+3), so stacking both rows' dx-tap weight blocks on M
+    against the 4-row K span gives a (6*C_out, 4*C_mid) x (4*C_mid, Wp)
+    product with EXACT 128-tile M/K at C=64 (384, 256) — the per-row
+    (192, 192) form padded both dims to 256 on the MXU, wasting ~45% of
+    its tiles, and paid the systolic fill twice per pooled row.
+
+    A lax.fori_loop (NOT a fully unrolled Python loop) bounds liveness to
+    a few iterations' f32 products — fully unrolled, Mosaic blows the
+    16 MB scoped-vmem stack at Wp=1280. Pooled rows land in the
+    (8, C_out, Wp) y_ref scratch (dynamic MAJOR-dim stores are legal;
+    dynamic second-minor stores into o_ref must be 8-aligned) and copy
+    out statically."""
 
     def body(p, _):
-        def conv_b(idx):
-            cat = jnp.concatenate(
-                [a_ref[idx + t] for t in range(3)], axis=0
-            )  # (3*C_mid, Wp)
-            z3 = jax.lax.dot_general(
-                wb_ref[:],
-                cat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = (
+        cat = jnp.concatenate(
+            [a_ref[2 * p + t] for t in range(4)], axis=0
+        )  # (4*C_mid, Wp)
+        z = jax.lax.dot_general(
+            wb2_ref[:],  # (6*C_out, 4*C_mid): [row0|row1] x dx blocks on M
+            cat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        def ext(z3):
+            return (
                 _shift_out(z3[:c_out], 0)
                 + z3[c_out : 2 * c_out]
                 + _shift_out(z3[2 * c_out :], 2)
             )
-            return jnp.maximum(acc + bb_ref[:], 0.0)
 
-        y = jnp.maximum(conv_b(2 * p), conv_b(2 * p + 1))
+        y = jnp.maximum(
+            jnp.maximum(ext(z[: 3 * c_out]) + bb_ref[:], 0.0),
+            jnp.maximum(ext(z[3 * c_out :]) + bb_ref[:], 0.0),
+        )
         y = jnp.where(jnp.logical_and(col[:c_out] < w_img, interior), y, 0.0)
         y_ref[p] = y.astype(y_ref.dtype)
         return 0
 
     # 4x unroll recovers most of the matmul pipelining the loop costs while
-    # keeping only 4 iterations' f32 products live (8x unrolled OOMs the
-    # 16 MB scoped VMEM stack at Wp=1280).
+    # keeping only 4 iterations' (6*C_out, Wp) f32 products live.
     def quad(q, c):
         for t in range(4):
             body(4 * q + t, c)
@@ -283,8 +292,18 @@ def _pool_conv_b_loop(a_ref, wb_ref, bb_ref, o_ref, y_ref, *, wp, c_out, interio
         o_ref[0, :, p, :] = y_ref[p]
 
 
+def _prep_wb2(wb, c_mid, c_out, cdt):
+    """Paired conv_b weights for _pool_conv_b_loop: (6*C_out, 4*C_mid) with
+    the (3dx*C_out, 3dy*C_mid) block repeated for the two conv rows, the
+    second shifted one dy (= one C_mid K-block) right."""
+    wbk = wb.transpose(1, 3, 0, 2).reshape(3 * c_out, 3 * c_mid).astype(cdt)
+    wb2 = jnp.zeros((6 * c_out, 4 * c_mid), cdt)
+    wb2 = wb2.at[: 3 * c_out, : 3 * c_mid].set(wbk)
+    return wb2.at[3 * c_out :, c_mid:].set(wbk)
+
+
 def _conv_pair_pool_kernel(
-    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt
+    x_ref, wa_ref, ba_ref, wb_ref, bb_ref, o_ref, a_ref, y_ref, *, wp, c_mid, c_out, w_img, n_blocks, hp_deep, cdt, shifted_a
 ):
     """conv_a + ReLU + conv_b + ReLU + vertical half of the 2x2 max-pool.
 
@@ -295,36 +314,61 @@ def _conv_pair_pool_kernel(
     fetches (rows 16i-8..16i+23) never clamp; the 8-row top/bottom pad
     blocks of the standard-output canvas are written as zeros.
 
-    Serves both fused pairs: conv2a+conv2b (C_in=64, bf16 blocks) and
-    conv1a+conv1b (C_in=1: the dy-concat degenerates to a (3, Wp) row band;
-    the wrapper keeps the 1-channel image and its weights f32)."""
+    Serves both fused pairs: conv2a+conv2b (C_in=64, bf16 blocks, dx taps
+    as partial-sum rotates) and conv1a+conv1b (C_in=1, ``shifted_a``: the
+    dx taps are lane-rolls of the f32 INPUT rows — two rolls for the whole
+    block — and six a-rows batch into one (6*C_mid, 24) x (24, Wp) matmul;
+    the per-row K=3 form ran one matmul per a-row at ~2% contraction
+    utilization plus 36 partial-sum rotates per block)."""
     i = pl.program_id(1)
     interior = jnp.logical_and(i >= 1, i <= n_blocks - 2)
     xb = x_ref[0]  # (C_in, 32, Wp)
-    col = None
+    col = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
 
-    for l in range(7, 25):
-        cat = jnp.concatenate(
-            [xb[:, l - 1 + dy, :] for dy in range(3)], axis=0
-        )  # (3*C_in, Wp)
-        z3 = jax.lax.dot_general(
-            wa_ref[:],  # (3*C_mid, 3*C_in)
-            cat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = (
-            _shift_out(z3[:c_mid], 0)
-            + z3[c_mid : 2 * c_mid]
-            + _shift_out(z3[2 * c_mid :], 2)
-        )
-        a = jnp.maximum(acc + ba_ref[:], 0.0)
-        if col is None:
-            col = jax.lax.broadcasted_iota(jnp.int32, (c_mid, wp), 1)
-        row = 16 * i - 8 + l
+    def a_mask(a, l):
+        row = 16 * i - 8 + l  # deep-canvas row of this conv_a value
         row_ok = jnp.logical_and(row >= 2 * PAD_ROWS, row < hp_deep - 2 * PAD_ROWS)
-        a = jnp.where(jnp.logical_and(col < w_img, row_ok), a, 0.0)
-        a_ref[l - 7] = a.astype(cdt)
+        return jnp.where(jnp.logical_and(col < w_img, row_ok), a, 0.0)
+
+    if shifted_a:
+        from jax.experimental.pallas import tpu as pltpu
+
+        r20 = xb[0, 6:26, :]  # the 20 input rows a-rows 7..24 touch
+        c20 = jax.lax.broadcasted_iota(jnp.int32, (20, wp), 1)
+        left = jnp.where(c20 >= 1, pltpu.roll(r20, 1, axis=1), 0.0)  # x[j-1]
+        right = jnp.where(c20 < wp - 1, pltpu.roll(r20, wp - 1, axis=1), 0.0)
+        for q in range(3):  # chunks of 6 a-rows sharing an 8-row K window
+            s = 6 * q
+            xq = jnp.concatenate(
+                [left[s : s + 8], r20[s : s + 8], right[s : s + 8]], axis=0
+            )  # (24, Wp): [dx0 | dx1 | dx2] x 8 rows
+            z = jax.lax.dot_general(
+                wa_ref[:],  # (6*C_mid, 24), identical for every chunk
+                xq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for t in range(6):
+                a = jnp.maximum(z[t * c_mid : (t + 1) * c_mid] + ba_ref[:], 0.0)
+                a_ref[s + t] = a_mask(a, 7 + s + t).astype(cdt)
+    else:
+        for l in range(7, 25):
+            cat = jnp.concatenate(
+                [xb[:, l - 1 + dy, :] for dy in range(3)], axis=0
+            )  # (3*C_in, Wp)
+            z3 = jax.lax.dot_general(
+                wa_ref[:],  # (3*C_mid, 3*C_in)
+                cat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = (
+                _shift_out(z3[:c_mid], 0)
+                + z3[c_mid : 2 * c_mid]
+                + _shift_out(z3[2 * c_mid :], 2)
+            )
+            a = jnp.maximum(acc + ba_ref[:], 0.0)
+            a_ref[l - 7] = a_mask(a, l).astype(cdt)
 
     _pool_conv_b_loop(
         a_ref, wb_ref, bb_ref, o_ref, y_ref,
@@ -378,6 +422,14 @@ def conv_pair_chw(
         assert hp % 16 == 0, hp
         from jax.experimental.pallas import tpu as pltpu
 
+        wb2 = _prep_wb2(wb, c_mid, c_out, cdt)
+        pweights = (wak, weights[1], wb2, weights[3])
+        pwspecs = [
+            wspecs[0],
+            wspecs[1],
+            pl.BlockSpec((6 * c_out, 4 * c_mid), lambda bb_, i: (0, 0)),
+            wspecs[3],
+        ]
         xd = jnp.pad(x.astype(cdt), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0)))
         hp_deep = hp + 2 * PAD_ROWS
         n_blocks = hp_deep // 16
@@ -385,13 +437,13 @@ def conv_pair_chw(
             functools.partial(
                 _conv_pair_pool_kernel,
                 wp=wp, c_mid=c_mid, c_out=c_out, w_img=w_img,
-                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt,
+                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt, shifted_a=False,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (bsz, c_out, hp_deep // 2, wp), out_dtype
             ),
             grid=(bsz, n_blocks),
-            in_specs=[_pool_rows_spec(c_in, hp_deep)(wp)] + wspecs,
+            in_specs=[_pool_rows_spec(c_in, hp_deep)(wp)] + pwspecs,
             out_specs=pl.BlockSpec(
                 (1, c_out, 8, wp), lambda bb_, i: (bb_, 0, i, 0)
             ),
@@ -400,7 +452,7 @@ def conv_pair_chw(
                 pltpu.VMEM((8, c_out, wp), out_dtype),
             ],
             interpret=interpret,
-        )(xd, *weights)
+        )(xd, *pweights)
 
     n_blocks = hp // _TH
     out = pl.pallas_call(
@@ -477,8 +529,23 @@ def conv1a1b_chw(
         assert hp % 16 == 0, hp
         from jax.experimental.pallas import tpu as pltpu
 
-        # Shared pooled kernel (C_in=1); image rows and conv1a weights
-        # stay f32 (wak is f32 above).
+        # Shared pooled kernel in its shifted_a mode: image rows and conv1a
+        # weights stay f32; the dx taps ride lane-rolled input copies, so
+        # the conv1a weights pack as (6 a-rows * C_mid, 3dx * 8 K-rows)
+        # with the SAME block serving every 6-row chunk.
+        waT = wa[:, :, 0, :].transpose(2, 1, 0).astype(jnp.float32)  # (c, dx, dy)
+        wa6 = jnp.zeros((6, c_mid, 3, 8), jnp.float32)
+        for r in range(6):
+            wa6 = wa6.at[r, :, :, r : r + 3].set(waT)
+        wa6 = wa6.reshape(6 * c_mid, 24)
+        wb2 = _prep_wb2(wb, c_mid, c_out, cdt)
+        pweights = (wa6, weights[1], wb2, weights[3])
+        pwspecs = [
+            pl.BlockSpec((6 * c_mid, 24), lambda bb_, i: (0, 0)),
+            wspecs[1],
+            pl.BlockSpec((6 * c_out, 4 * c_mid), lambda bb_, i: (0, 0)),
+            wspecs[3],
+        ]
         xd = jnp.pad(
             x.astype(jnp.float32), ((0, 0), (0, 0), (PAD_ROWS, PAD_ROWS), (0, 0))
         )
@@ -488,13 +555,13 @@ def conv1a1b_chw(
             functools.partial(
                 _conv_pair_pool_kernel,
                 wp=wp, c_mid=c_mid, c_out=c_out, w_img=w_img,
-                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt,
+                n_blocks=n_blocks, hp_deep=hp_deep, cdt=cdt, shifted_a=True,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (bsz, c_out, hp_deep // 2, wp), out_dtype
             ),
             grid=(bsz, n_blocks),
-            in_specs=[_pool_rows_spec(1, hp_deep)(wp)] + wspecs,
+            in_specs=[_pool_rows_spec(1, hp_deep)(wp)] + pwspecs,
             out_specs=pl.BlockSpec(
                 (1, c_out, 8, wp), lambda bb_, i: (bb_, 0, i, 0)
             ),
@@ -503,7 +570,7 @@ def conv1a1b_chw(
                 pltpu.VMEM((8, c_out, wp), out_dtype),
             ],
             interpret=interpret,
-        )(xd, *weights)
+        )(xd, *pweights)
 
     n_blocks = hp // _TH
     out = pl.pallas_call(
