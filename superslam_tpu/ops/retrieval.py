@@ -108,13 +108,6 @@ class DeviceCosineIndex:
         return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _sharded_add(db, ids, row, kid, r):
-    db = jax.lax.dynamic_update_slice(db, row[None], (r, jnp.int32(0)))
-    ids = jax.lax.dynamic_update_index_in_dim(ids, kid, r, 0)
-    return db, ids
-
-
 class ShardedCosineIndex:
     """DeviceCosineIndex scaled over a device mesh: database rows are
     sharded across the mesh's ``data`` axis, the query GEMM and a local
@@ -124,7 +117,8 @@ class ShardedCosineIndex:
 
     This is the serving-scale form of the loop retrieval (SURVEY §5.7):
     capacity grows with the mesh while per-query HBM traffic per chip stays
-    constant, and the result is bit-identical to the single-device index.
+    constant, and the result is bit-identical to the single-device index —
+    including the ring semantics (past capacity the oldest entry ages out).
     """
 
     def __init__(self, mesh, capacity: int = 8192, dim: int = 512):
@@ -144,27 +138,32 @@ class ShardedCosineIndex:
         sh1 = NamedSharding(mesh, P(self._axes))
         self._db = jax.device_put(jnp.zeros((capacity, dim), jnp.float32), sh)
         self._ids = jax.device_put(jnp.zeros((capacity,), jnp.int32), sh1)
+        self._ins = jax.device_put(jnp.full((capacity,), -1, jnp.int32), sh1)
         self._size = 0
 
     def __len__(self) -> int:
+        return min(self._size, self.capacity)
+
+    @property
+    def total_added(self) -> int:
         return self._size
 
     def add(self, keyframe_id: int, descriptor: np.ndarray) -> None:
-        if self._size >= self.capacity:
-            raise RuntimeError("ShardedCosineIndex capacity exceeded")
         d = np.asarray(descriptor, np.float32).reshape(-1)
         n = float(np.linalg.norm(d))
         if n > 1e-12:
             d = d / n
         # Insertion order interleaves shards (row r lives on device
-        # r // (cap/n)); recency masking therefore uses the PHYSICAL row
-        # index mapped back to insertion order via _ids — simplest correct
-        # scheme: write round-robin so insertion index == logical recency.
-        # Donated dynamic-slice write: in-place per-shard update, no
-        # O(capacity*dim) rebuild or resharding per keyframe add.
-        r = self._phys_row(self._size)
-        self._db, self._ids = _sharded_add(
-            self._db, self._ids, jnp.asarray(d), jnp.int32(keyframe_id), jnp.int32(r)
+        # r // (cap/n)): write round-robin so insertion index == logical
+        # recency; past capacity the ring revisits rows in the same order,
+        # overwriting the oldest. Donated dynamic-slice write: in-place
+        # per-shard update, no O(capacity*dim) rebuild or resharding per
+        # keyframe add.
+        r = self._phys_row(self._size % self.capacity)
+        self._db, self._ids, self._ins = _ring_add(
+            self._db, self._ids, self._ins,
+            jnp.asarray(d), jnp.int32(keyframe_id), jnp.int32(self._size),
+            jnp.int32(r),
         )
         self._size += 1
 
@@ -186,12 +185,13 @@ class ShardedCosineIndex:
     ) -> list[tuple[int, float]]:
         if self._size == 0 or self._size <= exclude_recent:
             return []
-        k = min(top_k if top_k > 0 else self._size, self.capacity)
+        k = min(top_k if top_k > 0 else self.capacity, self.capacity)
         scores, ids, ins = _sharded_query(
             self.mesh,
             self._axes,
             self._db,
             self._ids,
+            self._ins,
             jnp.asarray(np.asarray(descriptor, np.float32).reshape(-1)),
             jnp.int32(self._size),
             jnp.int32(exclude_recent),
@@ -212,7 +212,7 @@ class ShardedCosineIndex:
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axes", "top_k"))
-def _sharded_query(mesh, axes, db, ids, query, size, exclude_recent, min_score, top_k: int):
+def _sharded_query(mesh, axes, db, ids, ins, query, size, exclude_recent, min_score, top_k: int):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -221,28 +221,25 @@ def _sharded_query(mesh, axes, db, ids, query, size, exclude_recent, min_score, 
     shard_rows = db.shape[0] // n_shards
     k_local = min(top_k, shard_rows)
 
-    def local(db_s, ids_s, q_s):  # winners + insertion idx; ties on host
-        # Flat shard index across all mesh axes.
-        shard = jax.lax.axis_index(axes)
+    def local(db_s, ids_s, ins_s, q_s):  # winners + insertion idx; ties on host
         scores = db_s @ q_s  # (shard_rows,)
-        # Physical row -> insertion index (round-robin layout in add()).
-        local_pos = jnp.arange(shard_rows)
-        ins = local_pos * n_shards + shard
+        # Stored insertion index per row (-1 = never written); after
+        # wraparound each row holds its slot's newest insertion.
         limit = size - exclude_recent
-        valid = (ins < limit) & (scores >= min_score)
+        valid = (ins_s >= 0) & (ins_s < limit) & (scores >= min_score)
         masked = jnp.where(valid, scores, -jnp.inf)
         s, i = jax.lax.top_k(masked, k_local)  # per-shard winners
         cand_s = jax.lax.all_gather(s, axes, tiled=True)  # (n*k_local,)
         cand_id = jax.lax.all_gather(ids_s[i], axes, tiled=True)
-        cand_ins = jax.lax.all_gather(ins[i], axes, tiled=True)
+        cand_ins = jax.lax.all_gather(ins_s[i], axes, tiled=True)
         return cand_s, cand_id, cand_ins
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axes, None), P(axes), P()),
+        in_specs=(P(axes, None), P(axes), P(axes), P()),
         out_specs=(P(), P(), P()),
         # The outputs ARE replicated (all_gather + identical top_k on every
         # shard) but the static replication checker can't prove it.
         check_vma=False,
-    )(db, ids, q)
+    )(db, ids, ins, q)

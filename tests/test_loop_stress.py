@@ -125,6 +125,53 @@ def test_multi_lap_loops_through_async_worker_with_device_ring():
     assert last < 20 * max(first, 1e-4), (first, last)
 
 
+def test_sharded_ring_wraparound_matches_device_ring():
+    """The mesh-sharded index must reproduce the single-device ring's
+    results after wraparound (same aging, recency, and ranking)."""
+    from superslam_tpu.ops.retrieval import ShardedCosineIndex
+    from superslam_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    dev = DeviceCosineIndex(capacity=16, dim=8)
+    shard = ShardedCosineIndex(make_mesh(8), capacity=16, dim=8)
+    descs = rng.standard_normal((40, 8)).astype(np.float32)
+    for i, d in enumerate(descs):  # 40 > 16: wraps 2.5x
+        dev.add(200 + i, d)
+        shard.add(200 + i, d)
+    assert shard.total_added == 40 and len(shard) == 16
+
+    for exclude, topk, ms in [(0, 5, -1.0), (3, 4, 0.0), (6, 16, 0.1)]:
+        q = descs[30] + rng.normal(0, 0.05, 8).astype(np.float32)
+        d = dev.query(q, exclude, topk, ms)
+        s = shard.query(q, exclude, topk, ms)
+        assert [i for i, _ in d] == [i for i, _ in s], (d, s)
+        np.testing.assert_allclose(
+            [x for _, x in d], [x for _, x in s], atol=1e-5
+        )
+
+
+def test_device_retrieval_env_knob(monkeypatch):
+    """SUPERSLAM_DEVICE_RETRIEVAL=1 must route EigenPlacesRecognizer through
+    the HBM-resident ring (capacity from SUPERSLAM_RETRIEVAL_CAPACITY) and
+    return LoopCandidates identical in form to the host index's."""
+    from superslam_tpu.frontend.recognizer import EigenPlacesRecognizer
+    from superslam_tpu.models.eigenplaces import init_eigenplaces_params
+
+    monkeypatch.setenv("SUPERSLAM_DEVICE_RETRIEVAL", "1")
+    monkeypatch.setenv("SUPERSLAM_RETRIEVAL_CAPACITY", "32")
+    monkeypatch.setenv("SUPERSLAM_LOOP_MIN_SCORE", "0.1")
+    rec = EigenPlacesRecognizer(init_eigenplaces_params(0), image_size=64)
+    assert isinstance(rec.index, DeviceCosineIndex)
+    assert rec.index.capacity == 32
+
+    rng = np.random.default_rng(4)
+    d0 = rng.standard_normal(512).astype(np.float32)
+    rec.add(0, d0)
+    rec.add(1, rng.standard_normal(512).astype(np.float32))
+    out = rec.query(d0, exclude_recent=0, top_k=2)
+    assert out and isinstance(out[0], LoopCandidate) and out[0].keyframe_id == 0
+
+
 def test_ring_wraparound_retrieval_semantics():
     """Unit pin for the wraparound contract: entries older than capacity
     age out, newer ones remain queryable, recency exclusion still works."""
