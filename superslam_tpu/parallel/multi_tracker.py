@@ -45,11 +45,26 @@ class MultiSequenceTracker:
         match_threshold: float = 0.1,
         window_size: int = 8,
         matcher=None,
+        mesh=None,
     ):
         self.sp_params = sp_params
         self.lg_params = lg_params
         self.calib = calib
         self.S = int(num_sequences)
+        # Optional data-parallel mesh: image batch and keyframe state are
+        # sharded on 'data' so each chip owns S/n sequences (BASELINE
+        # config 5); None = single-device.
+        self._shard = None
+        if mesh is not None:
+            from .mesh import data_sharding
+
+            n_data = mesh.devices.shape[0]
+            if self.S % n_data:
+                raise ValueError(
+                    f"num_sequences ({self.S}) must be a multiple of the "
+                    f"mesh data axis ({n_data}) for sharded batching"
+                )
+            self._shard = data_sharding(mesh)
         self.width, self.height = int(width), int(height)
         self.pad_w, self.pad_h = pad_to_multiple(width), pad_to_multiple(height)
         self.K = int(max_keypoints)
@@ -62,9 +77,14 @@ class MultiSequenceTracker:
         self.estimators = [
             VoEstimator(matcher, calib, window_size) for _ in range(self.S)
         ]
-        self._kf_kpts = jnp.zeros((self.S, self.K, 2), jnp.float32)
-        self._kf_desc = jnp.zeros((self.S, self.K, 256), jnp.float32)
-        self._kf_valid = jnp.zeros((self.S, self.K), bool)
+        self._kf_kpts = self._place(jnp.zeros((self.S, self.K, 2), jnp.float32))
+        self._kf_desc = self._place(jnp.zeros((self.S, self.K, 256), jnp.float32))
+        self._kf_valid = self._place(jnp.zeros((self.S, self.K), bool))
+
+    def _place(self, arr):
+        import jax
+
+        return jax.device_put(arr, self._shard) if self._shard is not None else arr
 
     def _prepare(self, lefts, rights) -> np.ndarray:
         batch = np.zeros((2 * self.S, self.pad_h, self.pad_w), np.uint8)
@@ -89,7 +109,7 @@ class MultiSequenceTracker:
         packed, desc, kpts, valid = fused_stereo_step_multi(
             self.sp_params,
             self.lg_params,
-            jnp.asarray(self._prepare(lefts, rights)),
+            self._place(jnp.asarray(self._prepare(lefts, rights))),
             self._kf_kpts,
             self._kf_desc,
             self._kf_valid,

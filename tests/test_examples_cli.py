@@ -97,6 +97,23 @@ def test_kitti_runner_and_evaluation(kitti_dir, tmp_path, monkeypatch):
     assert metrics["frames"] == 4
 
 
+def test_multi_sequence_runner(kitti_dir, tmp_path, monkeypatch):
+    """Config-5 runner: two replicated sequences through the batched fused
+    program (8 virtual CPU devices -> the mesh-sharded path), per-sequence
+    KITTI trajectories written and identical (same input stream)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TINY_CFG)
+    out_dir = tmp_path / "multi"
+    _run_example(
+        "multi_sequence",
+        [str(cfg), str(kitti_dir), "--replicate", "2", "--out-dir", str(out_dir)],
+        monkeypatch,
+    )
+    t0 = (out_dir / "seq00.txt").read_text().strip().splitlines()
+    t1 = (out_dir / "seq01.txt").read_text().strip().splitlines()
+    assert len(t0) == 4 and t0 == t1
+
+
 def test_euroc_runner_with_rectification(tmp_path, monkeypatch):
     """EuRoC layout (mav0/cam0/{data.csv,data/}) with identity-rotation
     rectification maps built from the LEFT.*/RIGHT.* yaml blocks — the

@@ -173,7 +173,13 @@ def test_graft_entry_contract():
 
     fn, args = g.entry()
     out = fn(*args)
-    assert "matches0" in out
+    # The fused track step contract: (packed, desc, kpts, valid, track_out,
+    # carry) with the packed readback and the pose row well-formed.
+    packed, _desc, _kpts, _valid, track_out, _carry = out
+    assert packed.shape[0] == 4 and track_out.shape[1] == 13
+    import numpy as np
+
+    assert np.isfinite(np.asarray(track_out)).all()
     g.dryrun_multichip(8)
 
 
