@@ -185,9 +185,11 @@ def main() -> None:
             t_win, win_n = now, 0
         if now - bench_start >= MEASURE_S:
             break
-    tracker.flush()  # the tail drain belongs to the measured run
     if win_n:
+        # Close the partial diagnostic window BEFORE the flush so the tail
+        # drain is not charged to it (it IS part of the sustained value).
         window_fps.append(win_n / (time.perf_counter() - t_win))
+    tracker.flush()  # the tail drain belongs to the measured run
 
     lat_ms = np.array(lat) * 1e3
     fps = len(lat) / (time.perf_counter() - bench_start)

@@ -35,8 +35,9 @@ class EigenPlacesRecognizer:
         # database is small and the worker is off the critical path.
         if os.environ.get("SUPERSLAM_DEVICE_RETRIEVAL", "") not in ("", "0", "false"):
             from ..ops.retrieval import DeviceCosineIndex
+            from ..utils.env import env_int
 
-            cap = int(env_float("SUPERSLAM_RETRIEVAL_CAPACITY", 4096))
+            cap = env_int("SUPERSLAM_RETRIEVAL_CAPACITY", 4096)
             self.index = DeviceCosineIndex(capacity=cap, dim=512)
         else:
             self.index = CosineDescriptorIndex()

@@ -30,7 +30,7 @@ def _query(db, ids, ins, size, query, exclude_recent, min_score, top_k: int):
     valid = (ins >= 0) & (ins < limit) & (scores >= min_score)
     masked = jnp.where(valid, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(masked, top_k)
-    return top_scores, ids[top_idx]
+    return top_scores, ids[top_idx], ins[top_idx]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -92,7 +92,7 @@ class DeviceCosineIndex:
         if self._size == 0 or self._size <= exclude_recent:
             return []
         k = min(top_k if top_k > 0 else self.capacity, self.capacity)
-        scores, ids = _query(
+        scores, ids, ins = _query(
             self._db,
             self._ids,
             self._ins,
@@ -104,8 +104,14 @@ class DeviceCosineIndex:
         )
         scores = np.asarray(scores)
         ids = np.asarray(ids)
+        ins = np.asarray(ins)
         keep = np.isfinite(scores)
-        return [(int(i), float(s)) for i, s in zip(ids[keep], scores[keep])]
+        scores, ids, ins = scores[keep], ids[keep], ins[keep]
+        # Exact score ties break by INSERTION order (oldest first) like the
+        # host index's stable argsort and the sharded path — after
+        # wraparound, top_k's slot-order tie-break no longer matches it.
+        order = np.lexsort((ins, -scores))
+        return [(int(ids[i]), float(scores[i])) for i in order]
 
 
 class ShardedCosineIndex:

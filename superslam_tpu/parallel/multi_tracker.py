@@ -106,10 +106,19 @@ class MultiSequenceTracker:
         timestamps: list[float],
     ) -> list[Pose3]:
         """Track one frame of every sequence; returns S poses."""
+        # ONE host->device transfer: device_put of the numpy batch straight
+        # to the sharded layout (jnp.asarray first would commit to device 0
+        # and then re-scatter device-to-device — double upload per frame).
+        if self._shard is not None:
+            import jax
+
+            images = jax.device_put(self._prepare(lefts, rights), self._shard)
+        else:
+            images = jnp.asarray(self._prepare(lefts, rights))
         packed, desc, kpts, valid = fused_stereo_step_multi(
             self.sp_params,
             self.lg_params,
-            self._place(jnp.asarray(self._prepare(lefts, rights))),
+            images,
             self._kf_kpts,
             self._kf_desc,
             self._kf_valid,

@@ -193,3 +193,19 @@ def test_ring_wraparound_retrieval_semantics():
     res = idx.query(q, exclude_recent=4, top_k=8, min_score=0.9)
     ids = sorted(i for i, _ in res)
     assert ids == [104], ids
+
+
+def test_ring_exact_ties_break_by_insertion_order_after_wrap():
+    """After wraparound the physical slot order no longer matches insertion
+    order; exact score ties must still rank oldest-first like the host
+    index's stable argsort (and the sharded path's lexsort)."""
+    idx = DeviceCosineIndex(capacity=8, dim=4)
+    d = np.array([1, 0, 0, 0], np.float32)
+    other = np.array([0, 1, 0, 0], np.float32)
+    # Insertions 0-7 fill the ring; 8-9 wrap (slots 0-1). Identical
+    # descriptor `d` at insertions 9 (slot 1) and 4 (slot 4): slot order
+    # would rank 9 first; insertion order must rank 4 first.
+    for i in range(10):
+        idx.add(300 + i, d if i in (4, 9) else other)
+    res = idx.query(d, exclude_recent=0, top_k=2, min_score=0.9)
+    assert [i for i, _ in res] == [304, 309], res
