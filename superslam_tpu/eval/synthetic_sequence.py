@@ -1,0 +1,282 @@
+"""Rendered stereo sequences with ground-truth trajectories.
+
+The reference validates accuracy on downloaded datasets (KITTI/EuRoC/TUM,
+``/root/reference/scripts/benchmarks/_eval_common.py``); this zero-egress
+environment cannot fetch any of them, so this module renders one: a world of
+textured planar sprites (each a unique high-contrast corner pattern the
+synthetic-shapes-trained SuperPoint fires on), projected through a real
+pinhole stereo rig along a scripted trajectory, written to disk in KITTI
+odometry layout (image_0/ image_1/ times.txt + ground-truth poses). The
+existing KITTI runner and evaluators then consume it unchanged —
+pixels -> CNN -> matcher -> estimator -> ATE, the full accuracy axis with
+no downloaded artifact anywhere in the loop.
+
+Rendering is exact perspective: each sprite is a textured quad; its
+texture->image homography is composed analytically per frame and rasterized
+with cv2.warpPerspective, far-to-near for occlusion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geometry import Pose3, StereoCalib
+
+
+def _sprite_texture(rng: np.random.Generator, t: int = 32) -> np.ndarray:
+    """One sprite: a distinctive high-contrast corner pattern on a backing
+    square — a random bright/dark quadrilateral plus a 2x2 checker block,
+    over a per-sprite mid-gray. Corners galore for the detector, a unique
+    layout for the descriptor."""
+    import cv2
+
+    back = float(rng.uniform(0.25, 0.75))
+    img = np.full((t, t), back, np.float32)
+    dark = rng.uniform() < 0.5
+    fill = rng.uniform(0.0, 0.15) if dark else rng.uniform(0.85, 1.0)
+    c = t / 2.0
+    n = int(rng.integers(3, 6))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if np.any(np.diff(ang) < 0.35):
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False) + rng.uniform(0, 2 * np.pi)
+    r = rng.uniform(0.55, 0.92, n) * (t / 2 - 2)
+    poly = np.stack([c + r * np.cos(ang), c + r * np.sin(ang)], 1)
+    cv2.fillPoly(img, [np.round(poly).astype(np.int32)], fill)
+    # A quadrant checker block inside the polygon for extra identity bits.
+    bs = t // 5
+    ox, oy = int(rng.integers(t // 4, t // 2)), int(rng.integers(t // 4, t // 2))
+    for i in range(2):
+        for j in range(2):
+            v = fill if (i + j) % 2 else back
+            img[oy + i * bs : oy + (i + 1) * bs, ox + j * bs : ox + (j + 1) * bs] = v
+    return img
+
+
+@dataclass
+class SpriteWorld:
+    """Planar textured sprites: center (N, 3), two in-plane unit axes
+    (N, 3) each, half-extent (N,) meters, and per-sprite textures."""
+
+    centers: np.ndarray
+    ax_u: np.ndarray
+    ax_v: np.ndarray
+    half: np.ndarray
+    textures: list = field(default_factory=list)
+    background: float = 0.45
+
+    @property
+    def n(self) -> int:
+        return len(self.centers)
+
+
+def make_room_world(
+    rng: np.random.Generator,
+    half_x: float = 8.0,
+    half_z: float = 8.0,
+    height: float = 2.4,
+    n_sprites: int = 260,
+    sprite_half: tuple[float, float] = (0.28, 0.55),
+) -> SpriteWorld:
+    """Sprites on the four walls of a rectangular room (y up is -y in camera
+    convention; we keep y as the vertical axis with the camera at y=0).
+    A circuit trajectory inside the room sees every wall and revisits the
+    start — the loop-closure scenario."""
+    walls = [
+        # (point on wall, outward normal): sprites face inward (-normal).
+        (np.array([0.0, 0.0, half_z]), np.array([0.0, 0.0, 1.0])),
+        (np.array([0.0, 0.0, -half_z]), np.array([0.0, 0.0, -1.0])),
+        (np.array([half_x, 0.0, 0.0]), np.array([1.0, 0.0, 0.0])),
+        (np.array([-half_x, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0])),
+    ]
+    centers, ax_u, ax_v, half, tex = [], [], [], [], []
+    for i in range(n_sprites):
+        p0, nrm = walls[int(rng.integers(4))]
+        # In-wall coordinates.
+        u = np.cross(np.array([0.0, 1.0, 0.0]), nrm)
+        u /= np.linalg.norm(u)
+        v = np.array([0.0, 1.0, 0.0])
+        extent = half_x if abs(nrm[2]) > 0.5 else half_z
+        c = (
+            p0
+            + u * rng.uniform(-extent * 0.95, extent * 0.95)
+            + v * rng.uniform(-height, height)
+        )
+        centers.append(c)
+        # Face inward: in-plane axes span the wall; slight random roll.
+        roll = rng.uniform(-0.4, 0.4)
+        cu = np.cos(roll) * u + np.sin(roll) * v
+        cv_ = -np.sin(roll) * u + np.cos(roll) * v
+        ax_u.append(cu)
+        ax_v.append(cv_)
+        half.append(rng.uniform(*sprite_half))
+        tex.append(_sprite_texture(rng))
+    return SpriteWorld(
+        np.asarray(centers),
+        np.asarray(ax_u),
+        np.asarray(ax_v),
+        np.asarray(half),
+        tex,
+    )
+
+
+def circuit_trajectory(
+    n_frames: int,
+    radius_x: float = 4.5,
+    radius_z: float = 4.5,
+    laps: float = 1.06,
+    step_noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+) -> list[Pose3]:
+    """Camera circuit inside the room: an ellipse in the x-z plane, camera
+    looking along the tangent (forward = +z in camera frame). `laps` > 1
+    revisits the start — the loop-closure trigger."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * laps * i / n_frames
+        c = np.array([radius_x * np.sin(th), 0.0, -radius_z * np.cos(th)])
+        if rng is not None and step_noise > 0:
+            c = c + rng.normal(0, step_noise, 3) * [1.0, 0.3, 1.0]
+        # Tangent direction (d c / d th).
+        fwd = np.array([radius_x * np.cos(th), 0.0, radius_z * np.sin(th)])
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])  # camera +y points down (vision conv.)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], 1)  # columns: cam axes in world
+        poses.append(Pose3(R, c))
+    return poses
+
+
+def straight_trajectory(n_frames: int, step: float = 0.12) -> list[Pose3]:
+    """Forward motion down the room's z axis (pure-VO scenario)."""
+    return [Pose3(t=np.array([0.0, 0.0, -6.0 + step * i])) for i in range(n_frames)]
+
+
+def render_view(
+    world: SpriteWorld,
+    Twc: Pose3,
+    calib: StereoCalib,
+    h: int,
+    w: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Render one camera view (grayscale f32 in [0, 1])."""
+    import cv2
+
+    K = np.array(
+        [[calib.fx, 0, calib.cx], [0, calib.fy, calib.cy], [0, 0, 1]], np.float64
+    )
+    R_cw = Twc.R.T
+    t_cw = -R_cw @ Twc.t
+
+    img = np.full((h, w), world.background, np.float32)
+    # Mild background vignette so the frame is not perfectly flat.
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 0.03 * np.cos(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h)
+
+    # Depth-sort far to near (painter's algorithm).
+    z = (world.centers @ R_cw.T + t_cw)[:, 2]
+    order = np.argsort(-z)
+    for i in order:
+        zc = z[i]
+        if zc < 0.4:
+            continue
+        t_px = world.textures[i].shape[0]
+        scale = 2.0 * world.half[i] / t_px  # meters per texel
+        A = np.stack([world.ax_u[i] * scale, world.ax_v[i] * scale], 1)  # (3,2)
+        M = R_cw @ A  # (3, 2)
+        m3 = R_cw @ world.centers[i] + t_cw
+        # Texture pixel (s, t) with center at (t_px-1)/2 maps to
+        # K @ (M @ [s - c, t - c] + m3).
+        c0 = (t_px - 1) / 2.0
+        Hm = K @ np.column_stack([M[:, 0], M[:, 1], m3 - M @ np.array([c0, c0])])
+        # Cull: project the 4 texture corners; skip if none lands near frame.
+        corners = np.array(
+            [[0, 0, 1], [t_px - 1, 0, 1], [0, t_px - 1, 1], [t_px - 1, t_px - 1, 1]],
+            np.float64,
+        )
+        pc = corners @ Hm.T
+        if np.any(pc[:, 2] <= 1e-6):
+            continue
+        uv = pc[:, :2] / pc[:, 2:3]
+        if (
+            uv[:, 0].max() < -2
+            or uv[:, 0].min() > w + 2
+            or uv[:, 1].max() < -2
+            or uv[:, 1].min() > h + 2
+        ):
+            continue
+        patch = cv2.warpPerspective(
+            world.textures[i],
+            Hm.astype(np.float64),
+            (w, h),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT,
+            borderValue=-1.0,
+        )
+        mask = patch >= 0.0
+        img[mask] = patch[mask]
+
+    if rng is not None:
+        img = img + rng.normal(0, 0.004, (h, w)).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def render_stereo(
+    world: SpriteWorld,
+    Twc: Pose3,
+    calib: StereoCalib,
+    h: int,
+    w: int,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    right = Twc * Pose3(t=np.array([calib.baseline, 0.0, 0.0]))
+    return (
+        render_view(world, Twc, calib, h, w, rng),
+        render_view(world, right, calib, h, w, rng),
+    )
+
+
+def write_kitti_sequence(
+    out_dir: str,
+    world: SpriteWorld,
+    poses: list[Pose3],
+    calib: StereoCalib,
+    h: int,
+    w: int,
+    fps: float = 10.0,
+    seed: int = 0,
+    progress: bool = False,
+) -> None:
+    """Write KITTI odometry layout: image_0/, image_1/, times.txt, plus
+    poses_gt.txt (KITTI 3x4 row-major Twc — the evaluators' GT format)."""
+    import os
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
+    times, gt_rows = [], []
+    for i, p in enumerate(poses):
+        left, right = render_stereo(world, p, calib, h, w, rng)
+        cv2.imwrite(
+            os.path.join(out_dir, "image_0", f"{i:06d}.png"),
+            np.round(left * 255).astype(np.uint8),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "image_1", f"{i:06d}.png"),
+            np.round(right * 255).astype(np.uint8),
+        )
+        times.append(f"{i / fps:.6e}")
+        m = np.hstack([p.R, p.t.reshape(3, 1)])
+        gt_rows.append(" ".join(f"{v:.9e}" for v in m.ravel()))
+        if progress and (i + 1) % 25 == 0:
+            print(f"  rendered {i + 1}/{len(poses)}", flush=True)
+    with open(os.path.join(out_dir, "times.txt"), "w") as f:
+        f.write("\n".join(times) + "\n")
+    with open(os.path.join(out_dir, "poses_gt.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")

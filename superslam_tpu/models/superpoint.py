@@ -132,23 +132,18 @@ def _front_convs_pallas(
     return core.transpose(0, 2, 3, 1)  # NHWC
 
 
-def superpoint_dense(
+def _encoder_and_heads(
     params: Params,
     image: jnp.ndarray,
-    nms_radius: int = 4,
-    compute_dtype=jnp.bfloat16,
-    use_pallas_convs: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense forward pass.
+    compute_dtype,
+    use_pallas_convs: bool | None,
+) -> tuple[jnp.ndarray, jnp.ndarray, bool]:
+    """VGG encoder + both heads at descriptor-grid resolution.
 
-    Args:
-      image: (B, H, W) grayscale in [0, 1]. H must be a multiple of 8; when
-        the Pallas conv path is active, W is internally padded to a lane
-        multiple and the outputs are sliced back, so results match the XLA
-        path up to bf16 rounding.
-    Returns:
-      scores (B, H, W) f32 NMS'd heatmap;
-      descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype).
+    Returns (logits (B, H/8, Wp/8, 65) f32, desc_raw (B, H/8, Wp/8, 256)
+    UNnormalized, compute_dtype, resolved use_pallas_convs) where Wp >= W is
+    the lane-padded width when the Pallas conv path is active (callers slice
+    back to W).
     """
     if use_pallas_convs is None:
         use_pallas_convs = _pallas_convs_wanted()
@@ -183,6 +178,56 @@ def superpoint_dense(
     # Detector head: 65 channels = 8x8 cell logits + dustbin.
     cPa = relu(_conv(x, params, "convPa", compute_dtype))
     logits = _conv(cPa, params, "convPb", compute_dtype).astype(jnp.float32)
+    cDa = relu(_conv(x, params, "convDa", compute_dtype))
+    desc = _conv(cDa, params, "convDb", compute_dtype)
+    return logits, desc, use_pallas_convs
+
+
+def superpoint_raw(
+    params: Params,
+    image: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Training-time forward: raw detector logits and L2-normalized
+    descriptor grid, both at cell resolution, differentiable end to end
+    (always the XLA conv path — the Pallas kernels are inference-only).
+
+    Returns:
+      logits (B, H/8, W/8, 65) f32 — 64 in-cell positions + dustbin;
+      desc (B, H/8, W/8, 256) L2-normalized over channels.
+    """
+    logits, desc, _ = _encoder_and_heads(
+        params, image, compute_dtype, use_pallas_convs=False
+    )
+    desc = desc.astype(jnp.float32)
+    desc = desc * jax.lax.rsqrt(
+        jnp.sum(jnp.square(desc), axis=-1, keepdims=True) + 1e-12
+    )
+    return logits, desc
+
+
+def superpoint_dense(
+    params: Params,
+    image: jnp.ndarray,
+    nms_radius: int = 4,
+    compute_dtype=jnp.bfloat16,
+    use_pallas_convs: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense forward pass.
+
+    Args:
+      image: (B, H, W) grayscale in [0, 1]. H must be a multiple of 8; when
+        the Pallas conv path is active, W is internally padded to a lane
+        multiple and the outputs are sliced back, so results match the XLA
+        path up to bf16 rounding.
+    Returns:
+      scores (B, H, W) f32 NMS'd heatmap;
+      descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype).
+    """
+    b_, h_, w_ = image.shape
+    logits, desc_raw, use_pallas_convs = _encoder_and_heads(
+        params, image, compute_dtype, use_pallas_convs
+    )
     scores = jax.nn.softmax(logits, axis=-1)[..., :-1]  # (B, h, w, 64)
     b, h, w, _ = scores.shape
     # Depth-to-space: (B, h, w, 8, 8) -> (B, h*8, w*8).
@@ -209,9 +254,8 @@ def superpoint_dense(
             )
             scores = jnp.where(scores == pooled, scores, 0.0)
 
-    # Descriptor head, L2-normalized over channels.
-    cDa = relu(_conv(x, params, "convDa", compute_dtype))
-    desc = _conv(cDa, params, "convDb", compute_dtype)
+    # Descriptor grid, L2-normalized over channels.
+    desc = desc_raw
     desc = desc * jax.lax.rsqrt(
         jnp.sum(jnp.square(desc.astype(jnp.float32)), axis=-1, keepdims=True) + 1e-12
     ).astype(compute_dtype)

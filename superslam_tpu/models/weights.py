@@ -66,6 +66,26 @@ def load_torch_pth(path: str, dtype=jnp.float32) -> Params:
     return params
 
 
+def save_params_torch_layout(
+    params: Params, path: str, dtype: np.dtype = np.float16
+) -> None:
+    """Inverse of the load-time layout rule: write a flat param dict as a
+    torch-layout safetensors checkpoint (HWIO -> OIHW, (in,out) -> (out,in))
+    so our own trained checkpoints (train/) round-trip through the exact
+    production ``load_params`` path a published torch state dict would."""
+    from safetensors.numpy import save_file
+
+    flat: dict[str, np.ndarray] = {}
+    for name, arr in params.items():
+        a = np.asarray(arr)
+        if a.ndim == 4:
+            a = np.transpose(a, (3, 2, 0, 1))  # HWIO -> OIHW
+        elif a.ndim == 2:
+            a = np.transpose(a, (1, 0))
+        flat[name] = np.ascontiguousarray(a.astype(dtype))
+    save_file(flat, path)
+
+
 def load_params(
     path: str | None,
     fallback: Callable[[], Params],
