@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Render a synthetic stereo sequence with ground truth to disk.
+
+Produces a KITTI-odometry-layout directory (image_0/, image_1/, times.txt,
+poses_gt.txt) from the textured-sprite world renderer
+(superslam_tpu.eval.synthetic_sequence), plus a ready-to-run facade config.
+Together with the synthetic-shapes-trained weights (scripts/
+train_superpoint.py, scripts/train_lightglue_synth.py) this closes the
+accuracy loop offline: generate -> examples/kitti.py -> evaluate_kitti.py.
+
+Usage:
+  python scripts/make_synthetic_sequence.py /tmp/synth_seq --frames 150
+  python examples/kitti.py /tmp/synth_seq/config.yaml /tmp/synth_seq \
+      --no-viewer --out /tmp/synth_est.txt
+  python scripts/evaluate_kitti.py /tmp/synth_est.txt /tmp/synth_seq/poses_gt.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIG_TMPL = """# Auto-generated synthetic-sequence config.
+Camera.fx: {fx}
+Camera.fy: {fy}
+Camera.cx: {cx}
+Camera.cy: {cy}
+Camera.bf: {bf}
+Camera.width: {w}
+Camera.height: {h}
+ThDepth: 40
+SuperPoint.model_dir: "{model_dir}"
+superpoint:
+  weights_file: {sp_weights}
+  max_keypoints: {max_kp}
+  keypoint_threshold: 0.010
+  remove_borders: 4
+lightglue:
+  weights_file: {lg_weights}
+  image_width: {w}
+  image_height: {h}
+Backend.window_size: 8
+KeyFrame.covis_ratio: 0.75
+loop:
+  min_inliers: 25
+  min_score: 0.60
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=352)
+    ap.add_argument("--trajectory", choices=("circuit", "straight"), default="circuit")
+    ap.add_argument("--sprites", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fx", type=float, default=320.0)
+    ap.add_argument("--baseline", type=float, default=0.3)
+    ap.add_argument("--max-keypoints", type=int, default=512)
+    ap.add_argument("--model-dir", default="weights/")
+    ap.add_argument("--sp-weights", default="superpoint_synth.safetensors")
+    ap.add_argument(
+        "--lg-weights",
+        default="__passthrough__",
+        help="lightglue checkpoint name in model_dir, or __passthrough__ "
+        "for the analytic mutual-NN matcher (no checkpoint needed)",
+    )
+    args = ap.parse_args()
+
+    from superslam_tpu.eval.synthetic_sequence import (
+        circuit_trajectory,
+        make_room_world,
+        straight_trajectory,
+        write_kitti_sequence,
+    )
+    from superslam_tpu.geometry import StereoCalib
+
+    rng = np.random.default_rng(args.seed)
+    world = make_room_world(rng, n_sprites=args.sprites)
+    calib = StereoCalib(
+        fx=args.fx,
+        fy=args.fx,
+        cx=args.width / 2.0,
+        cy=args.height / 2.0,
+        baseline=args.baseline,
+    )
+    if args.trajectory == "circuit":
+        poses = circuit_trajectory(args.frames)
+    else:
+        poses = straight_trajectory(args.frames)
+
+    print(f"rendering {args.frames} stereo pairs at {args.width}x{args.height} ...")
+    write_kitti_sequence(
+        args.out_dir,
+        world,
+        poses,
+        calib,
+        args.height,
+        args.width,
+        seed=args.seed + 1,
+        progress=True,
+    )
+    cfg = CONFIG_TMPL.format(
+        fx=args.fx,
+        fy=args.fx,
+        cx=args.width / 2.0,
+        cy=args.height / 2.0,
+        bf=args.fx * args.baseline,
+        w=args.width,
+        h=args.height,
+        model_dir=args.model_dir,
+        sp_weights=args.sp_weights,
+        lg_weights=args.lg_weights,
+        max_kp=args.max_keypoints,
+    )
+    with open(os.path.join(args.out_dir, "config.yaml"), "w") as f:
+        f.write(cfg)
+    print(f"wrote {args.out_dir} (images, times.txt, poses_gt.txt, config.yaml)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Fine-tune LightGlue on correspondences harvested from the synthetic world.
+
+Second stage of the zero-egress bootstrap (after scripts/train_superpoint.py):
+render sprite-world view pairs WITH exact sprite-id maps, extract keypoints
+and descriptors through the trained SuperPoint, derive ground-truth
+assignments by ray-plane intersection + reprojection + id agreement, and
+fine-tune LightGlue (initialized from the analytic mutual-NN passthrough
+construction) with the sharded matcher train step (parallel.training).
+
+The harvested distribution is the REAL inference distribution — the same
+extractor, the same normalization the matcher wrapper applies
+(frontend/matcher.py: (kpt - size/2) / (max(w,h)/2)) — so the trained
+checkpoint drops into the facade via ``lightglue.weights_file``.
+
+Usage:
+  python scripts/train_lightglue_synth.py --steps 300 \
+      --sp-weights weights/superpoint_synth.safetensors \
+      --out weights/lightglue_synth.safetensors
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def harvest_pair(sp_params, world, pose0, pose1, calib, h, w, cap, rng):
+    """One training sample: features of both views + GT assignment.
+
+    Returns None when too few covisible keypoints survive."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.eval.synthetic_sequence import render_view
+    from superslam_tpu.models.superpoint import superpoint_extract
+
+    img0, ids0 = render_view(world, pose0, calib, h, w, rng, return_ids=True)
+    img1, ids1 = render_view(world, pose1, calib, h, w, rng, return_ids=True)
+    kpts, scores, valid, desc = superpoint_extract(
+        sp_params,
+        jnp.asarray(np.stack([img0, img1])),
+        max_keypoints=cap,
+        keypoint_threshold=0.012,
+    )
+    kpts = np.asarray(kpts)
+    valid = np.asarray(valid)
+    desc = np.asarray(desc)
+    n0, n1 = int(valid[0].sum()), int(valid[1].sum())
+    if n0 < 16 or n1 < 16:
+        return None
+
+    def sprite_id_at(ids, pts):
+        xi = np.clip(np.round(pts[:, 0]).astype(int), 0, w - 1)
+        yi = np.clip(np.round(pts[:, 1]).astype(int), 0, h - 1)
+        return ids[yi, xi]
+
+    # Lift view0 keypoints onto their sprite planes.
+    K = np.array([[calib.fx, 0, calib.cx], [0, calib.fy, calib.cy], [0, 0, 1]])
+    Kinv = np.linalg.inv(K)
+    p0 = kpts[0][:n0]
+    s0 = sprite_id_at(ids0, p0)
+    rays = (Kinv @ np.concatenate([p0, np.ones((n0, 1))], 1).T).T  # cam dirs
+    d_w = rays @ pose0.R.T
+    o = pose0.t
+    gt = np.full(cap, -1, np.int32)
+    # Precompute view1 keypoint sprite ids.
+    p1 = kpts[1][:n1]
+    s1 = sprite_id_at(ids1, p1)
+    nrm = np.cross(world.ax_u, world.ax_v)
+    R1, t1 = pose1.R, pose1.t
+    taken = np.full(n1, False)
+    for i in range(n0):
+        sp = s0[i]
+        if sp < 0:
+            continue
+        n_s = nrm[sp]
+        denom = d_w[i] @ n_s
+        if abs(denom) < 1e-9:
+            continue
+        lam = ((world.centers[sp] - o) @ n_s) / denom
+        if lam <= 0:
+            continue
+        X = o + lam * d_w[i]
+        pc = R1.T @ (X - t1)
+        if pc[2] < 0.2:
+            continue
+        u = calib.fx * pc[0] / pc[2] + calib.cx
+        v = calib.fy * pc[1] / pc[2] + calib.cy
+        d = np.hypot(p1[:, 0] - u, p1[:, 1] - v)
+        cand = np.flatnonzero((d < 3.0) & (s1 == sp) & ~taken)
+        if cand.size:
+            j = cand[np.argmin(d[cand])]
+            gt[i] = j
+            taken[j] = True
+
+    center = np.array([w / 2.0, h / 2.0], np.float32)
+    scale = np.float32(max(w, h) / 2.0)
+    kn = (kpts - center) / scale
+    mask = np.stack(
+        [np.arange(cap) < n0, np.arange(cap) < n1]
+    )
+    if (gt >= 0).sum() < 8:
+        return None
+    return {
+        "kpts0": kn[0].astype(np.float32),
+        "desc0": desc[0].astype(np.float32),
+        "kpts1": kn[1].astype(np.float32),
+        "desc1": desc[1].astype(np.float32),
+        "mask0": mask[0],
+        "mask1": mask[1],
+        "gt_indices": gt,
+    }
+
+
+def match_prf(matches: np.ndarray, gt: np.ndarray) -> tuple[float, float]:
+    """Precision/recall of predicted (i, j) pairs vs the GT assignment."""
+    pred = {(int(i), int(j)) for i, j in matches}
+    truth = {(int(i), int(j)) for i, j in enumerate(gt) if j >= 0}
+    if not pred or not truth:
+        return 0.0, 0.0
+    tp = len(pred & truth)
+    return tp / len(pred), tp / len(truth)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cap", type=int, default=256, help="keypoint capacity")
+    ap.add_argument("--pairs", type=int, default=160, help="harvest pool size")
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument(
+        "--fx", type=float, default=320.0,
+        help="harvest focal length — match the evaluation sequence's fx "
+        "(apparent feature scale is fx/z, independent of image size)",
+    )
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sp-weights", default="weights/superpoint_synth.safetensors")
+    ap.add_argument("--out", default="weights/lightglue_synth.safetensors")
+    ap.add_argument("--from-random", action="store_true",
+                    help="init from random instead of passthrough")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from superslam_tpu.eval.synthetic_sequence import (
+        make_room_world,
+        random_interior_pose,
+    )
+    from superslam_tpu.geometry import Pose3, StereoCalib
+    from superslam_tpu.models.lightglue import init_lightglue_params
+    from superslam_tpu.models.superpoint import init_superpoint_params
+    from superslam_tpu.models.weights import load_params, save_params_torch_layout
+    from superslam_tpu.parallel.training import make_optimizer, train_step
+    from superslam_tpu.slam import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    rng = np.random.default_rng(args.seed)
+    h, w = args.height, args.width
+    calib = StereoCalib(fx=args.fx, fy=args.fx, cx=w / 2.0, cy=h / 2.0, baseline=0.3)
+    sp_params = load_params(args.sp_weights, lambda: init_superpoint_params())
+    world = make_room_world(rng, n_sprites=240)
+
+    print(f"harvesting {args.pairs} view pairs at {w}x{h} ...", flush=True)
+    t0 = time.time()
+    pool = []
+    while len(pool) < args.pairs:
+        # VO-like motion: a base pose on the circuit + a small random step.
+        pose0 = random_interior_pose(rng, yaw_jitter=0.2)
+        xi = np.concatenate(
+            [rng.normal(0, 0.02, 3), rng.normal(0, 0.08, 3)]  # [w, v]
+        )
+        pose1 = pose0 * Pose3.expmap(xi)
+        s = harvest_pair(sp_params, world, pose0, pose1, calib, h, w, args.cap, rng)
+        if s is not None:
+            pool.append(s)
+    print(f"harvested in {time.time() - t0:.1f}s", flush=True)
+
+    held = pool[: max(4, args.pairs // 10)]
+    train = pool[len(held):]
+
+    init = init_lightglue_params(args.seed, passthrough=not args.from_random)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in init.items()}
+    tx = make_optimizer(args.lr)
+    opt = tx.init(params)
+
+    def eval_prf(params):
+        from superslam_tpu.models.lightglue import lightglue_match
+
+        ps, rs = [], []
+        for s in held:
+            m0, sc = lightglue_match(
+                params,
+                jnp.asarray(s["kpts0"])[None],
+                jnp.asarray(s["desc0"])[None],
+                jnp.asarray(s["kpts1"])[None],
+                jnp.asarray(s["desc1"])[None],
+                jnp.asarray(s["mask0"])[None],
+                jnp.asarray(s["mask1"])[None],
+            )
+            m = np.asarray(m0[0])
+            qi = np.flatnonzero(m >= 0)
+            p, r = match_prf(np.stack([qi, m[qi]], 1), s["gt_indices"])
+            ps.append(p)
+            rs.append(r)
+        return float(np.mean(ps)), float(np.mean(rs))
+
+    p0, r0 = eval_prf(params)
+    print(f"init (passthrough={not args.from_random}): P {p0:.3f} R {r0:.3f}",
+          flush=True)
+
+    losses = []
+    for step in range(1, args.steps + 1):
+        idx = rng.integers(len(train), size=args.batch)
+        batch = {
+            k: jnp.asarray(np.stack([train[i][k] for i in idx]))
+            for k in train[0]
+        }
+        params, opt, loss = train_step(params, opt, batch, tx)
+        losses.append(float(loss))
+        if step % 50 == 0:
+            print(f"step {step}: loss {np.mean(losses[-50:]):.4f}", flush=True)
+
+    p1, r1 = eval_prf(params)
+    print(f"trained: P {p1:.3f} R {r1:.3f}", flush=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_torch_layout(params, args.out)
+    meta = {
+        "steps": args.steps,
+        "init": "random" if args.from_random else "passthrough",
+        "precision_init": p0,
+        "recall_init": r0,
+        "precision": p1,
+        "recall": r1,
+        "final_loss": float(np.mean(losses[-50:])) if losses else None,
+    }
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {args.out}")
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,20 @@ def main() -> None:
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--out", default="weights/superpoint_synth.safetensors")
     ap.add_argument("--resume", default=None, help="checkpoint to continue from")
+    ap.add_argument(
+        "--render-frac", type=float, default=0.0,
+        help="fraction of steps trained on sprite-world renders (domain "
+        "adaptation for the synthetic accuracy sequences)",
+    )
+    ap.add_argument("--render-height", type=int, default=240)
+    ap.add_argument("--render-width", type=int, default=320)
+    ap.add_argument(
+        "--render-fx", type=float, default=320.0,
+        help="render focal length — match the evaluation sequence's fx so "
+        "apparent feature scale (fx/z) matches at test time",
+    )
+    ap.add_argument("--render-batch", type=int, default=8)
+    ap.add_argument("--render-pool", type=int, default=300)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -65,14 +79,28 @@ def main() -> None:
     pool = [compact_pair(rng, h, w) for _ in range(args.pool)]
     print(f"pool ready in {time.time() - t0:.1f}s", flush=True)
 
+    rsource = rpool = None
+    if args.render_frac > 0:
+        from superslam_tpu.train.render_domain import RenderDomainSource
+
+        rsource = RenderDomainSource(
+            rng, args.render_height, args.render_width, fx=args.render_fx
+        )
+        print(f"filling render pool with {args.render_pool} pairs ...", flush=True)
+        t0 = time.time()
+        rpool = [rsource.compact_pair(rng) for _ in range(args.render_pool)]
+        print(f"render pool ready in {time.time() - t0:.1f}s", flush=True)
+
     stop = threading.Event()
     gen_count = [0]
 
     def producer() -> None:
         prng = np.random.default_rng(args.seed + 1)
         while not stop.is_set():
-            fresh = compact_pair(prng, h, w)
-            pool[int(prng.integers(len(pool)))] = fresh
+            if rpool is not None and prng.uniform() < args.render_frac:
+                rpool[int(prng.integers(len(rpool)))] = rsource.compact_pair(prng)
+            else:
+                pool[int(prng.integers(len(pool)))] = compact_pair(prng, h, w)
             gen_count[0] += 1
 
     th = threading.Thread(target=producer, daemon=True)
@@ -83,8 +111,8 @@ def main() -> None:
     tx = make_sp_optimizer(args.lr)
     opt = tx.init(params)
 
-    def batch_of(indices):
-        sel = [pool[i] for i in indices]
+    def batch_of(src, indices):
+        sel = [src[i] for i in indices]
         return {
             k: jnp.asarray(np.stack([s[k] for s in sel])) for k in sel[0]
         }
@@ -93,8 +121,11 @@ def main() -> None:
     losses = []
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        idx = rng.integers(len(pool), size=args.batch)
-        params, opt, loss, aux = sp_train_step(params, opt, batch_of(idx), tx)
+        if rpool is not None and rng.uniform() < args.render_frac:
+            b = batch_of(rpool, rng.integers(len(rpool), size=args.render_batch))
+        else:
+            b = batch_of(pool, rng.integers(len(pool), size=args.batch))
+        params, opt, loss, aux = sp_train_step(params, opt, b, tx)
         losses.append(float(loss))
         if step % 100 == 0:
             rate = step / (time.time() - t0)
@@ -108,11 +139,21 @@ def main() -> None:
         if args.eval_every and step % args.eval_every == 0:
             m = evaluate_detector(params, eval_rng, h=h, w=w)
             print(f"  eval @{step}: {json.dumps(m)}", flush=True)
+            if rsource is not None:
+                mr = evaluate_detector(
+                    params, eval_rng, image_fn=rsource.labeled_image
+                )
+                print(f"  render eval @{step}: {json.dumps(mr)}", flush=True)
             os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
             save_params_torch_layout(params, args.out)
 
     stop.set()
     metrics = evaluate_detector(params, eval_rng, n_images=16, h=h, w=w)
+    render_metrics = None
+    if rsource is not None:
+        render_metrics = evaluate_detector(
+            params, eval_rng, n_images=16, image_fn=rsource.labeled_image
+        )
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params_torch_layout(params, args.out)
     meta = {
@@ -121,6 +162,8 @@ def main() -> None:
         "image": [h, w],
         "final_loss": float(np.mean(losses[-100:])),
         "eval": metrics,
+        "render_frac": args.render_frac,
+        "render_eval": render_metrics,
     }
     with open(args.out + ".json", "w") as f:
         json.dump(meta, f, indent=1)

@@ -25,11 +25,17 @@ import numpy as np
 from ..geometry import Pose3, StereoCalib
 
 
-def _sprite_texture(rng: np.random.Generator, t: int = 32) -> np.ndarray:
+def _sprite_texture(
+    rng: np.random.Generator, t: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
     """One sprite: a distinctive high-contrast corner pattern on a backing
     square — a random bright/dark quadrilateral plus a 2x2 checker block,
     over a per-sprite mid-gray. Corners galore for the detector, a unique
-    layout for the descriptor."""
+    layout for the descriptor.
+
+    Returns (texture (t, t) f32, corners (N, 2) f32 in texture (x, y)
+    pixels) — the exact corner ground truth used to supervise SuperPoint on
+    the render domain (train/render_domain.py)."""
     import cv2
 
     back = float(rng.uniform(0.25, 0.75))
@@ -43,7 +49,9 @@ def _sprite_texture(rng: np.random.Generator, t: int = 32) -> np.ndarray:
         ang = np.linspace(0, 2 * np.pi, n, endpoint=False) + rng.uniform(0, 2 * np.pi)
     r = rng.uniform(0.55, 0.92, n) * (t / 2 - 2)
     poly = np.stack([c + r * np.cos(ang), c + r * np.sin(ang)], 1)
-    cv2.fillPoly(img, [np.round(poly).astype(np.int32)], fill)
+    poly_px = np.round(poly).astype(np.int32)
+    cv2.fillPoly(img, [poly_px], fill)
+    corners = [poly_px.astype(np.float32)]
     # A quadrant checker block inside the polygon for extra identity bits.
     bs = t // 5
     ox, oy = int(rng.integers(t // 4, t // 2)), int(rng.integers(t // 4, t // 2))
@@ -51,7 +59,17 @@ def _sprite_texture(rng: np.random.Generator, t: int = 32) -> np.ndarray:
         for j in range(2):
             v = fill if (i + j) % 2 else back
             img[oy + i * bs : oy + (i + 1) * bs, ox + j * bs : ox + (j + 1) * bs] = v
-    return img
+    # The 3x3 junction grid of the checker block (every point where two
+    # differently-shaded cells meet), plus the texture-quad corners (sprite
+    # edge against the world background).
+    gx, gy = np.meshgrid(ox + bs * np.arange(3), oy + bs * np.arange(3))
+    corners.append(np.stack([gx.ravel(), gy.ravel()], 1).astype(np.float32))
+    corners.append(
+        np.array(
+            [[0, 0], [t - 1, 0], [0, t - 1], [t - 1, t - 1]], np.float32
+        )
+    )
+    return img, np.concatenate(corners, 0)
 
 
 @dataclass
@@ -64,6 +82,7 @@ class SpriteWorld:
     ax_v: np.ndarray
     half: np.ndarray
     textures: list = field(default_factory=list)
+    tex_corners: list = field(default_factory=list)  # (Ni, 2) texture px
     background: float = 0.45
 
     @property
@@ -90,7 +109,7 @@ def make_room_world(
         (np.array([half_x, 0.0, 0.0]), np.array([1.0, 0.0, 0.0])),
         (np.array([-half_x, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0])),
     ]
-    centers, ax_u, ax_v, half, tex = [], [], [], [], []
+    centers, ax_u, ax_v, half, tex, tex_c = [], [], [], [], [], []
     for i in range(n_sprites):
         p0, nrm = walls[int(rng.integers(4))]
         # In-wall coordinates.
@@ -111,13 +130,16 @@ def make_room_world(
         ax_u.append(cu)
         ax_v.append(cv_)
         half.append(rng.uniform(*sprite_half))
-        tex.append(_sprite_texture(rng))
+        t_img, t_cor = _sprite_texture(rng)
+        tex.append(t_img)
+        tex_c.append(t_cor)
     return SpriteWorld(
         np.asarray(centers),
         np.asarray(ax_u),
         np.asarray(ax_v),
         np.asarray(half),
         tex,
+        tex_c,
     )
 
 
@@ -155,6 +177,35 @@ def straight_trajectory(n_frames: int, step: float = 0.12) -> list[Pose3]:
     return [Pose3(t=np.array([0.0, 0.0, -6.0 + step * i])) for i in range(n_frames)]
 
 
+def random_interior_pose(
+    rng: np.random.Generator,
+    radius: float = 4.5,
+    y_jitter: float = 0.3,
+    yaw_jitter: float = 0.5,
+    pitch_jitter: float = 0.15,
+) -> Pose3:
+    """A random viewpoint on the circuit annulus, looking roughly along the
+    tangent with yaw/pitch jitter — the viewpoint distribution the training
+    harvesters (train/render_domain.py, scripts/train_lightglue_synth.py)
+    sample so the learned models see the trajectory's own image statistics."""
+    th = rng.uniform(0, 2 * np.pi)
+    c = np.array(
+        [radius * np.sin(th), rng.uniform(-y_jitter, y_jitter), -radius * np.cos(th)]
+    )
+    fwd = np.array([np.cos(th), 0.0, np.sin(th)])
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    R = np.stack([right / np.linalg.norm(right), np.cross(fwd, right), fwd], 1)
+    jit = np.array(
+        [
+            rng.uniform(-pitch_jitter, pitch_jitter),
+            rng.uniform(-yaw_jitter, yaw_jitter),
+            rng.uniform(-0.1, 0.1),
+        ]
+    )
+    return Pose3(R, c) * Pose3.expmap(np.concatenate([jit, np.zeros(3)]))
+
+
 def render_view(
     world: SpriteWorld,
     Twc: Pose3,
@@ -162,8 +213,18 @@ def render_view(
     h: int,
     w: int,
     rng: np.random.Generator | None = None,
-) -> np.ndarray:
-    """Render one camera view (grayscale f32 in [0, 1])."""
+    return_ids: bool = False,
+    return_corners: bool = False,
+):
+    """Render one camera view (grayscale f32 in [0, 1]).
+
+    With ``return_ids`` also returns an (h, w) int32 sprite-id map (-1 =
+    background) — exact ground-truth data association for correspondence
+    harvesting (scripts/train_lightglue_synth.py). With ``return_corners``
+    also returns the visible projected sprite corners ((N, 2) f32 (x, y)
+    image pixels) — exact detector supervision on the render domain
+    (train/render_domain.py). Each sprite's warp is rasterized only over
+    its projected bounding box, not the full canvas."""
     import cv2
 
     K = np.array(
@@ -177,6 +238,10 @@ def render_view(
     yy, xx = np.mgrid[0:h, 0:w]
     img += 0.03 * np.cos(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h)
 
+    want_ids = return_ids or return_corners
+    ids = np.full((h, w), -1, np.int32) if want_ids else None
+    corner_uv: list[np.ndarray] = []
+    corner_sprite: list[np.ndarray] = []
     # Depth-sort far to near (painter's algorithm).
     z = (world.centers @ R_cw.T + t_cw)[:, 2]
     order = np.argsort(-z)
@@ -194,35 +259,72 @@ def render_view(
         c0 = (t_px - 1) / 2.0
         Hm = K @ np.column_stack([M[:, 0], M[:, 1], m3 - M @ np.array([c0, c0])])
         # Cull: project the 4 texture corners; skip if none lands near frame.
-        corners = np.array(
+        quad = np.array(
             [[0, 0, 1], [t_px - 1, 0, 1], [0, t_px - 1, 1], [t_px - 1, t_px - 1, 1]],
             np.float64,
         )
-        pc = corners @ Hm.T
+        pc = quad @ Hm.T
         if np.any(pc[:, 2] <= 1e-6):
             continue
         uv = pc[:, :2] / pc[:, 2:3]
-        if (
-            uv[:, 0].max() < -2
-            or uv[:, 0].min() > w + 2
-            or uv[:, 1].max() < -2
-            or uv[:, 1].min() > h + 2
-        ):
+        # The homographic image of the texture square is the quad spanned by
+        # these four projected corners; rasterize only its bounding box.
+        x0 = max(0, int(np.floor(uv[:, 0].min())) - 1)
+        x1 = min(w, int(np.ceil(uv[:, 0].max())) + 2)
+        y0 = max(0, int(np.floor(uv[:, 1].min())) - 1)
+        y1 = min(h, int(np.ceil(uv[:, 1].max())) + 2)
+        if x1 <= x0 or y1 <= y0:
             continue
+        shift = np.array([[1, 0, -x0], [0, 1, -y0], [0, 0, 1]], np.float64)
         patch = cv2.warpPerspective(
             world.textures[i],
-            Hm.astype(np.float64),
-            (w, h),
+            shift @ Hm,
+            (x1 - x0, y1 - y0),
             flags=cv2.INTER_LINEAR,
             borderMode=cv2.BORDER_CONSTANT,
             borderValue=-1.0,
         )
         mask = patch >= 0.0
-        img[mask] = patch[mask]
+        sub = img[y0:y1, x0:x1]
+        sub[mask] = patch[mask]
+        if ids is not None:
+            ids[y0:y1, x0:x1][mask] = i
+        if return_corners:
+            cs = world.tex_corners[i]
+            p = np.concatenate([cs, np.ones((len(cs), 1), np.float64)], 1) @ Hm.T
+            ok = p[:, 2] > 1e-6
+            corner_uv.append((p[ok, :2] / p[ok, 2:3]).astype(np.float32))
+            corner_sprite.append(np.full(int(ok.sum()), i, np.int32))
+
+    corners_out = None
+    if return_corners:
+        if corner_uv:
+            alluv = np.concatenate(corner_uv, 0)
+            allsp = np.concatenate(corner_sprite, 0)
+            xi = np.round(alluv[:, 0]).astype(int)
+            yi = np.round(alluv[:, 1]).astype(int)
+            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            # Visible = the sprite still owns a pixel in the 3x3 around the
+            # projection (boundary corners may round onto the background).
+            vis = np.zeros(len(alluv), bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    xq = np.clip(xi + dx, 0, w - 1)
+                    yq = np.clip(yi + dy, 0, h - 1)
+                    vis |= inb & (ids[yq, xq] == allsp)
+            corners_out = alluv[vis]
+        else:
+            corners_out = np.zeros((0, 2), np.float32)
 
     if rng is not None:
         img = img + rng.normal(0, 0.004, (h, w)).astype(np.float32)
-    return np.clip(img, 0.0, 1.0)
+    img = np.clip(img, 0.0, 1.0)
+    out = [img]
+    if return_ids:
+        out.append(ids)
+    if return_corners:
+        out.append(corners_out)
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def render_stereo(

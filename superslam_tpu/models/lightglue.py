@@ -266,11 +266,14 @@ def lightglue_forward(
     mask0: jnp.ndarray,
     mask1: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
+    fused: bool | None = None,
 ) -> jnp.ndarray:
     """Run the full matcher; returns the (B, M, N) log-assignment matrix.
 
     kpts already normalized to ~[-1, 1]; desc L2-normalized rows; masks mark
-    real (non-padding) keypoints.
+    real (non-padding) keypoints. ``fused=None`` consults the Pallas env
+    gate; pass ``fused=False`` to force the XLA layers (required under
+    differentiation — the fused kernels have no JVP rule).
 
     Implementation: both sides of every pair problem are stacked on the batch
     axis so each self-attention layer is ONE (2B, K, D) call instead of two —
@@ -279,7 +282,7 @@ def lightglue_forward(
     """
     b = desc0.shape[0]
     m_len, n_len = desc0.shape[1], desc1.shape[1]
-    use_fused = _pallas_layer_wanted()
+    use_fused = _pallas_layer_wanted() if fused is None else fused
     K = max(m_len, n_len)
     if use_fused:
         # Tokens ride sublanes (pad to 8) AND the (K, K) logits' lane dim

@@ -42,7 +42,10 @@ def matching_loss(
     Matched rows: -log P(i -> gt_i). Unmatched rows: -log(1 - sum_j P(i,j))
     (the dual-softmax 'dustbin' mass), clamped for stability.
     """
-    la = lightglue_forward(params, kpts0, desc0, kpts1, desc1, mask0, mask1)
+    la = lightglue_forward(
+        params, kpts0, desc0, kpts1, desc1, mask0, mask1,
+        compute_dtype=jnp.float32, fused=False,
+    )
     b, k, _ = la.shape
     matched = gt_indices >= 0
     safe_idx = jnp.where(matched, gt_indices, 0)

@@ -83,10 +83,16 @@ class SuperSLAM:
             weights("superpoint", "superpoint_v1.safetensors"),
             lambda: init_superpoint_params(),
         )
-        lg_params = load_params(
-            weights("lightglue", "lightglue_superpoint.safetensors"),
-            lambda: init_lightglue_params(),
-        )
+        lg_file = weights("lightglue", "lightglue_superpoint.safetensors")
+        if lg_file and os.path.basename(lg_file) == "__passthrough__":
+            # Sentinel: analytically constructed mutual-nearest-neighbor
+            # weights (models/lightglue.py init passthrough=True) — the
+            # matcher the synthetic accuracy pipeline uses when no trained
+            # LightGlue checkpoint exists (zero-egress bootstrap; see
+            # scripts/make_synthetic_sequence.py).
+            lg_params = init_lightglue_params(passthrough=True)
+        else:
+            lg_params = load_params(lg_file, lambda: init_lightglue_params())
 
         # One extractor shared by L/R; one matcher shared by front-end and
         # estimator (SuperSLAM.cc:82-87).

@@ -182,11 +182,16 @@ def evaluate_detector(
     w: int = 160,
     threshold: float = 0.015,
     max_keypoints: int = 256,
+    image_fn=None,
 ) -> dict[str, float]:
     """Detection quality on fresh synthetic images through the PRODUCTION
     extraction program (dense heads + NMS + on-device top-K select), plus a
     descriptor discriminability margin (mean cosine at corresponding cells
-    minus mean cosine at random non-corresponding cells)."""
+    minus mean cosine at random non-corresponding cells).
+
+    ``image_fn(rng) -> (img, corners)`` overrides the image source (default
+    procedural shapes; pass RenderDomainSource.labeled_image to score the
+    sprite-world domain)."""
     import jax.numpy as jnp
 
     from ..models.superpoint import superpoint_extract
@@ -194,9 +199,13 @@ def evaluate_detector(
 
     import cv2
 
+    if image_fn is None:
+        image_fn = lambda r: render_shapes(r, h, w)  # noqa: E731
+
     ps, rs, fs, margins = [], [], [], []
     for _ in range(n_images):
-        img, corners = render_shapes(rng, h, w)
+        img, corners = image_fn(rng)
+        h, w = img.shape
         if len(corners) == 0:
             continue
         kpts, scores, valid, desc = superpoint_extract(

@@ -269,17 +269,18 @@ def _cell_correspondence(
     return (np.sum(d * d, axis=2) <= radius * radius).astype(np.float32)
 
 
-def training_pair(
-    rng: np.random.Generator, h: int, w: int
+def pair_from_image(
+    rng: np.random.Generator, img0: np.ndarray, corners: np.ndarray
 ) -> dict[str, np.ndarray]:
-    """One (view0, warped view1) sample with every training target.
+    """Homographic training pair from ANY labeled image.
 
-    Keys: img0/img1 (h, w) f32; labels0/labels1 (gh, gw) int32;
-    valid0/valid1 (gh, gw) f32 cell-validity (1 inside real content);
-    corr (gh*gw, gh*gw) f32 descriptor correspondence; H (3, 3) f32."""
+    The warp machinery is source-agnostic: procedural shapes
+    (``training_pair``) and rendered sprite-world views
+    (train/render_domain.py) both feed through here, so the descriptor
+    correspondence targets and label warping are identical across domains."""
     import cv2
 
-    img0, corners = render_shapes(rng, h, w)
+    h, w = img0.shape
     H = sample_homography(rng, h, w)
     img1 = cv2.warpPerspective(img0, H.astype(np.float32), (w, h))
     cov = cv2.warpPerspective(np.ones((h, w), np.float32), H.astype(np.float32), (w, h))
@@ -302,6 +303,19 @@ def training_pair(
     }
 
 
+def training_pair(
+    rng: np.random.Generator, h: int, w: int
+) -> dict[str, np.ndarray]:
+    """One (view0, warped view1) procedural-shapes sample with every
+    training target.
+
+    Keys: img0/img1 (h, w) f32; labels0/labels1 (gh, gw) int32;
+    valid0/valid1 (gh, gw) f32 cell-validity (1 inside real content);
+    corr (gh*gw, gh*gw) f32 descriptor correspondence; H (3, 3) f32."""
+    img0, corners = render_shapes(rng, h, w)
+    return pair_from_image(rng, img0, corners)
+
+
 def training_batch(
     rng: np.random.Generator, batch: int, h: int, w: int
 ) -> dict[str, np.ndarray]:
@@ -309,11 +323,10 @@ def training_batch(
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
-def compact_pair(rng: np.random.Generator, h: int, w: int) -> dict[str, np.ndarray]:
-    """Wire-format sample for bandwidth-bound training links: uint8 images,
-    int32 labels, and the 3x3 H — descriptor targets are reconstructed on
-    device by ``superpoint_train.pair_targets_from_h``."""
-    p = training_pair(rng, h, w)
+def compact_from_pair(p: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Wire-format view of a training pair: uint8 images, int32 labels, and
+    the 3x3 H — descriptor targets are reconstructed on device by
+    ``superpoint_train.pair_targets_from_h``."""
     return {
         "img0": np.round(p["img0"] * 255).astype(np.uint8),
         "img1": np.round(p["img1"] * 255).astype(np.uint8),
@@ -321,3 +334,8 @@ def compact_pair(rng: np.random.Generator, h: int, w: int) -> dict[str, np.ndarr
         "labels1": p["labels1"],
         "H": p["H"],
     }
+
+
+def compact_pair(rng: np.random.Generator, h: int, w: int) -> dict[str, np.ndarray]:
+    """Wire-format procedural-shapes sample (see ``compact_from_pair``)."""
+    return compact_from_pair(training_pair(rng, h, w))

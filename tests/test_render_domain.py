@@ -1,0 +1,149 @@
+"""Render-domain training supervision: exact sprite-corner ground truth.
+
+The sprite world (eval/synthetic_sequence.py) supervises SuperPoint on the
+evaluation render domain the way the reference's published checkpoints were
+supervised on real images (homographic adaptation, SURVEY §2 #25) — except
+with analytically exact corner labels: every sprite texture records its
+corner locations and render_view projects them through the per-sprite
+texture->image homography with occlusion-aware visibility.
+"""
+
+import numpy as np
+import pytest
+
+from superslam_tpu.eval.synthetic_sequence import (
+    circuit_trajectory,
+    make_room_world,
+    random_interior_pose,
+    render_view,
+)
+from superslam_tpu.geometry import StereoCalib
+from superslam_tpu.train.render_domain import RenderDomainSource
+from superslam_tpu.train.synthetic_shapes import (
+    CELL,
+    corners_to_labels,
+    pair_from_image,
+    warp_points,
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_room_world(np.random.default_rng(3), n_sprites=80)
+
+
+@pytest.fixture(scope="module")
+def calib():
+    return StereoCalib(fx=160.0, fy=160.0, cx=80.0, cy=60.0, baseline=0.3)
+
+
+def test_corners_are_visible_and_in_bounds(world, calib):
+    pose = circuit_trajectory(10)[2]
+    img, ids, corners = render_view(
+        world, pose, calib, 120, 160, return_ids=True, return_corners=True
+    )
+    assert corners.shape[1] == 2 and len(corners) > 20
+    assert (corners[:, 0] >= 0).all() and (corners[:, 0] < 160).all()
+    assert (corners[:, 1] >= 0).all() and (corners[:, 1] < 120).all()
+    # Every reported corner's 3x3 neighborhood touches a sprite pixel.
+    xi = np.round(corners[:, 0]).astype(int)
+    yi = np.round(corners[:, 1]).astype(int)
+    near_sprite = np.zeros(len(corners), bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            near_sprite |= (
+                ids[np.clip(yi + dy, 0, 119), np.clip(xi + dx, 0, 159)] >= 0
+            )
+    assert near_sprite.all()
+
+
+def test_corners_sit_on_image_gradient(world, calib):
+    """Projected corner GT must coincide with actual image structure:
+    mean 3x3-max gradient at corners far exceeds that at random pixels."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    pose = random_interior_pose(rng)
+    img, corners = render_view(
+        world, pose, calib, 120, 160, return_corners=True
+    )
+    if len(corners) < 10:
+        pytest.skip("view too empty")
+    g = np.hypot(
+        cv2.Sobel(img, cv2.CV_32F, 1, 0), cv2.Sobel(img, cv2.CV_32F, 0, 1)
+    )
+
+    def max3x3(xs, ys):
+        vals = [
+            g[np.clip(ys + dy, 0, 119), np.clip(xs + dx, 0, 159)]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+        return np.stack(vals).max(0)
+
+    at_c = max3x3(
+        np.round(corners[:, 0]).astype(int), np.round(corners[:, 1]).astype(int)
+    )
+    at_r = max3x3(
+        rng.integers(1, 159, 400), rng.integers(1, 119, 400)
+    )
+    assert at_c.mean() > 2.0 * at_r.mean()
+
+
+def test_roi_rasterization_matches_ids(world, calib):
+    """The bounding-box-cropped warp must paint exactly the pixels the ids
+    map claims: sprite pixels differ from the pure-background render."""
+    pose = circuit_trajectory(10)[0]
+    img, ids = render_view(world, pose, calib, 120, 160, return_ids=True)
+    empty = render_view(
+        type(world)(
+            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+        ),
+        pose,
+        calib,
+        120,
+        160,
+    )
+    delta = np.abs(img - empty)
+    # Background pixels untouched by any sprite must match exactly.
+    assert np.max(delta[ids < 0]) == 0.0
+    assert (ids >= 0).mean() > 0.02  # scene is not empty
+
+
+def test_pair_from_image_targets(world, calib):
+    rng = np.random.default_rng(1)
+    pose = random_interior_pose(rng)
+    img, corners = render_view(
+        world, pose, calib, 120, 160, rng, return_corners=True
+    )
+    p = pair_from_image(rng, img, corners)
+    assert p["img0"].shape == p["img1"].shape == (120, 160)
+    gh, gw = 120 // CELL, 160 // CELL
+    assert p["labels0"].shape == (gh, gw)
+    assert p["corr"].shape == (gh * gw, gh * gw)
+    # Warped labels are consistent with warping the corner set directly.
+    np.testing.assert_array_equal(
+        p["labels1"], corners_to_labels(warp_points(p["H"], corners), 120, 160)
+    )
+    # labels0 cells with corners are non-dustbin.
+    assert (p["labels0"] != 64).sum() > 5
+
+
+def test_render_domain_train_step_runs():
+    import jax.numpy as jnp
+
+    from superslam_tpu.models.superpoint import init_superpoint_params
+    from superslam_tpu.train import make_sp_optimizer, sp_train_step
+
+    rng = np.random.default_rng(2)
+    src = RenderDomainSource(rng, 120, 160, fx=160.0, n_worlds=1, n_sprites=60)
+    pairs = [src.compact_pair(rng) for _ in range(2)]
+    batch = {k: jnp.asarray(np.stack([s[k] for s in pairs])) for k in pairs[0]}
+    params = {
+        k: jnp.asarray(v, jnp.float32)
+        for k, v in init_superpoint_params().items()
+    }
+    tx = make_sp_optimizer(1e-3)
+    opt = tx.init(params)
+    params, opt, loss, aux = sp_train_step(params, opt, batch, tx)
+    assert np.isfinite(float(loss))
