@@ -32,101 +32,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def harvest_pair(sp_params, world, pose0, pose1, calib, h, w, cap, rng):
-    """One training sample: features of both views + GT assignment.
-
-    Returns None when too few covisible keypoints survive."""
-    import jax.numpy as jnp
-
-    from superslam_tpu.eval.synthetic_sequence import render_view
-    from superslam_tpu.models.superpoint import superpoint_extract
-
-    img0, ids0 = render_view(world, pose0, calib, h, w, rng, return_ids=True)
-    img1, ids1 = render_view(world, pose1, calib, h, w, rng, return_ids=True)
-    kpts, scores, valid, desc = superpoint_extract(
-        sp_params,
-        jnp.asarray(np.stack([img0, img1])),
-        max_keypoints=cap,
-        keypoint_threshold=0.012,
-    )
-    kpts = np.asarray(kpts)
-    valid = np.asarray(valid)
-    desc = np.asarray(desc)
-    n0, n1 = int(valid[0].sum()), int(valid[1].sum())
-    if n0 < 16 or n1 < 16:
-        return None
-
-    def sprite_id_at(ids, pts):
-        xi = np.clip(np.round(pts[:, 0]).astype(int), 0, w - 1)
-        yi = np.clip(np.round(pts[:, 1]).astype(int), 0, h - 1)
-        return ids[yi, xi]
-
-    # Lift view0 keypoints onto their sprite planes.
-    K = np.array([[calib.fx, 0, calib.cx], [0, calib.fy, calib.cy], [0, 0, 1]])
-    Kinv = np.linalg.inv(K)
-    p0 = kpts[0][:n0]
-    s0 = sprite_id_at(ids0, p0)
-    rays = (Kinv @ np.concatenate([p0, np.ones((n0, 1))], 1).T).T  # cam dirs
-    d_w = rays @ pose0.R.T
-    o = pose0.t
-    gt = np.full(cap, -1, np.int32)
-    # Precompute view1 keypoint sprite ids.
-    p1 = kpts[1][:n1]
-    s1 = sprite_id_at(ids1, p1)
-    nrm = np.cross(world.ax_u, world.ax_v)
-    R1, t1 = pose1.R, pose1.t
-    taken = np.full(n1, False)
-    for i in range(n0):
-        sp = s0[i]
-        if sp < 0:
-            continue
-        n_s = nrm[sp]
-        denom = d_w[i] @ n_s
-        if abs(denom) < 1e-9:
-            continue
-        lam = ((world.centers[sp] - o) @ n_s) / denom
-        if lam <= 0:
-            continue
-        X = o + lam * d_w[i]
-        pc = R1.T @ (X - t1)
-        if pc[2] < 0.2:
-            continue
-        u = calib.fx * pc[0] / pc[2] + calib.cx
-        v = calib.fy * pc[1] / pc[2] + calib.cy
-        d = np.hypot(p1[:, 0] - u, p1[:, 1] - v)
-        cand = np.flatnonzero((d < 3.0) & (s1 == sp) & ~taken)
-        if cand.size:
-            j = cand[np.argmin(d[cand])]
-            gt[i] = j
-            taken[j] = True
-
-    center = np.array([w / 2.0, h / 2.0], np.float32)
-    scale = np.float32(max(w, h) / 2.0)
-    kn = (kpts - center) / scale
-    mask = np.stack(
-        [np.arange(cap) < n0, np.arange(cap) < n1]
-    )
-    if (gt >= 0).sum() < 8:
-        return None
-    return {
-        "kpts0": kn[0].astype(np.float32),
-        "desc0": desc[0].astype(np.float32),
-        "kpts1": kn[1].astype(np.float32),
-        "desc1": desc[1].astype(np.float32),
-        "mask0": mask[0],
-        "mask1": mask[1],
-        "gt_indices": gt,
-    }
-
-
-def match_prf(matches: np.ndarray, gt: np.ndarray) -> tuple[float, float]:
-    """Precision/recall of predicted (i, j) pairs vs the GT assignment."""
-    pred = {(int(i), int(j)) for i, j in matches}
-    truth = {(int(i), int(j)) for i, j in enumerate(gt) if j >= 0}
-    if not pred or not truth:
-        return 0.0, 0.0
-    tp = len(pred & truth)
-    return tp / len(pred), tp / len(truth)
+from superslam_tpu.train.render_domain import (  # noqa: E402
+    harvest_matching_pair as harvest_pair,
+    match_prf,
+)
 
 
 def main() -> None:

@@ -88,7 +88,7 @@ def main() -> None:
         )
         print(f"filling render pool with {args.render_pool} pairs ...", flush=True)
         t0 = time.time()
-        rpool = [rsource.compact_pair(rng) for _ in range(args.render_pool)]
+        rpool = [rsource.two_view_compact(rng) for _ in range(args.render_pool)]
         print(f"render pool ready in {time.time() - t0:.1f}s", flush=True)
 
     stop = threading.Event()
@@ -98,7 +98,7 @@ def main() -> None:
         prng = np.random.default_rng(args.seed + 1)
         while not stop.is_set():
             if rpool is not None and prng.uniform() < args.render_frac:
-                rpool[int(prng.integers(len(rpool)))] = rsource.compact_pair(prng)
+                rpool[int(prng.integers(len(rpool)))] = rsource.two_view_compact(prng)
             else:
                 pool[int(prng.integers(len(pool)))] = compact_pair(prng, h, w)
             gen_count[0] += 1
@@ -132,7 +132,8 @@ def main() -> None:
             print(
                 f"step {step}: loss {np.mean(losses[-100:]):.4f} "
                 f"(ce {float(aux['ce0']):.3f}/{float(aux['ce1']):.3f} "
-                f"desc {float(aux['desc']):.3f}) {rate:.1f} steps/s "
+                f"desc {float(aux['desc']):.3f} "
+                f"hard {float(aux['hard']):.3f}) {rate:.1f} steps/s "
                 f"fresh={gen_count[0]}",
                 flush=True,
             )
@@ -143,7 +144,12 @@ def main() -> None:
                 mr = evaluate_detector(
                     params, eval_rng, image_fn=rsource.labeled_image
                 )
-                print(f"  render eval @{step}: {json.dumps(mr)}", flush=True)
+                mm = rsource.matching_eval(params, eval_rng)
+                print(
+                    f"  render eval @{step}: {json.dumps(mr)} "
+                    f"match: {json.dumps(mm)}",
+                    flush=True,
+                )
             os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
             save_params_torch_layout(params, args.out)
 
@@ -154,6 +160,7 @@ def main() -> None:
         render_metrics = evaluate_detector(
             params, eval_rng, n_images=16, image_fn=rsource.labeled_image
         )
+        render_metrics.update(rsource.matching_eval(params, eval_rng, n_pairs=8))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params_torch_layout(params, args.out)
     meta = {

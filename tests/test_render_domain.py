@@ -147,3 +147,38 @@ def test_render_domain_train_step_runs():
     opt = tx.init(params)
     params, opt, loss, aux = sp_train_step(params, opt, batch, tx)
     assert np.isfinite(float(loss))
+
+
+def test_two_view_targets_zero_motion_exact():
+    """With identical poses the sprite-plane reprojection must return each
+    cell center exactly (the lift/reproject round-trip is analytic)."""
+    rng = np.random.default_rng(5)
+    src = RenderDomainSource(rng, 120, 160, fx=160.0, n_worlds=1, n_sprites=80)
+    p = src.two_view_compact(rng, rot_sigma=0.0, trans_sigma=0.0)
+    n = (120 // CELL) * (160 // CELL)
+    ys = np.arange(120 // CELL) * CELL + CELL / 2 - 0.5
+    xs = np.arange(160 // CELL) * CELL + CELL / 2 - 0.5
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    centers = np.stack([gx.ravel(), gy.ravel()], 1)
+    valid = p["corr_pts"][:, 0] > -1e5
+    assert valid.sum() > 10
+    np.testing.assert_allclose(p["corr_pts"][valid], centers[valid], atol=1e-3)
+
+
+def test_two_view_loss_has_hard_term():
+    import jax.numpy as jnp
+
+    from superslam_tpu.models.superpoint import init_superpoint_params
+    from superslam_tpu.train.superpoint_train import sp_loss
+
+    rng = np.random.default_rng(6)
+    src = RenderDomainSource(rng, 120, 160, fx=160.0, n_worlds=1, n_sprites=80)
+    pairs = [src.two_view_compact(rng) for _ in range(2)]
+    batch = {k: jnp.asarray(np.stack([s[k] for s in pairs])) for k in pairs[0]}
+    params = {
+        k: jnp.asarray(v, jnp.float32)
+        for k, v in init_superpoint_params().items()
+    }
+    loss, aux = sp_loss(params, batch)
+    assert np.isfinite(float(loss))
+    assert float(aux["hard"]) > 0.0  # untrained: hardest negative wins
