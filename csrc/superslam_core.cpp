@@ -468,7 +468,7 @@ int ssl_window_lm(const double* pose_seeds, int K, const int32_t* views,
                   const double* meas, const int32_t* mlen, int L, int m_max,
                   double fx, double fy, double cx, double cy, double baseline,
                   double inv_sigma, double dyn_outlier_px, double prior_info,
-                  double* out, int max_iters) {
+                  double huber_k, double* out, int max_iters) {
   std::vector<Pose> poses(K);
   for (int i = 0; i < K; ++i) poses[i] = pose_from(pose_seeds + 12 * i);
   const Pose prior_pose = poses[0];
@@ -492,10 +492,11 @@ int ssl_window_lm(const double* pose_seeds, int K, const int32_t* views,
         win_residual(c, p, 1.0 / zs, ms + 3 * v, r);
         const double nn = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
         if (nn > maxerr) maxerr = nn;
-        for (int d = 0; d < 3; ++d) {
-          const double rw = r[d] * inv_sigma;
-          chi += rw * rw;
-        }
+        const double e = nn * inv_sigma;  // whitened per-view residual norm
+        if (huber_k > 0 && e > huber_k)
+          chi += 2.0 * (huber_k * e - 0.5 * huber_k * huber_k);
+        else
+          chi += e * e;
       }
       if (dyn_outlier_px > 0 && maxerr >= dyn_outlier_px) continue;
       err += 0.5 * chi;
@@ -550,6 +551,20 @@ int ssl_window_lm(const double* pose_seeds, int K, const int32_t* views,
             Jx[v * 9 + i * 3 + j] = s * inv_sigma;
           }
         for (int d = 0; d < 3; ++d) rw[v * 3 + d] = r[d] * inv_sigma;
+        if (huber_k > 0) {
+          // IRLS Huber: scale this view's whitened residual + Jacobians by
+          // sqrt(min(1, k/e)) so outlier views have bounded influence
+          // (mirrors WindowSmoother._build_reduced_system).
+          const double e = std::sqrt(rw[v * 3] * rw[v * 3] +
+                                     rw[v * 3 + 1] * rw[v * 3 + 1] +
+                                     rw[v * 3 + 2] * rw[v * 3 + 2]);
+          if (e > huber_k) {
+            const double sw = std::sqrt(huber_k / e);
+            for (int d = 0; d < 18; ++d) U[v * 18 + d] *= sw;
+            for (int d = 0; d < 9; ++d) Jx[v * 9 + d] *= sw;
+            for (int d = 0; d < 3; ++d) rw[v * 3 + d] *= sw;
+          }
+        }
         for (int i = 0; i < 3; ++i)
           for (int j = 0; j < 3; ++j) {
             for (int k = 0; k < 3; ++k)

@@ -294,9 +294,26 @@ class VoEstimator:
         else:
             frame_pose = self._previous_frame_pose
 
-        # Coast on constant velocity when the solve is unsupported.
+        # Coast on constant velocity when the solve is unsupported — too few
+        # matches, or a pose wildly inconsistent with recent motion. The
+        # per-frame LM is unconstrained: from a bad basin (outlier-heavy
+        # matches, or a keyframe the smoother just nudged) it can return a
+        # tens-of-metres step that then poisons every later prediction
+        # (measured: one 23 m step at frame 46 spiralled a rendered-world run
+        # to km-scale ATE). A step this far from the constant-velocity
+        # prediction is never a real automotive/handheld motion; coasting is
+        # strictly safer. SUPERSLAM_TRACK_MAX_JUMP_M tunes (<=0 disables).
         min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
-        if n_matches < min_matches:
+        max_jump = env_float("SUPERSLAM_TRACK_MAX_JUMP_M", 2.0)
+        coast = n_matches < min_matches
+        if not coast and max_jump > 0:
+            pred = self._previous_frame_pose * self._previous_relative
+            if (
+                not frame_pose.is_finite()
+                or np.linalg.norm(frame_pose.t - pred.t) > max_jump
+            ):
+                coast = True
+        if coast:
             frame_pose = self._previous_frame_pose * self._previous_relative
         else:
             self._previous_relative = self._previous_frame_pose.between(frame_pose)

@@ -9,6 +9,15 @@ measurement noise, ZERO_ON_DEGENERACY semantics, dynamic outlier rejection at
 LM capped at 4 iterations / tol 1e-3. Diverged or throwing solves keep the
 previous poses.
 
+One deliberate deviation: the 3 px outlier gate is evaluated once at the
+seed poses and frozen for the solve (``_prefilter_groups``), where GTSAM
+re-evaluates it at every linearization. The re-evaluated gate makes the LM
+cost discontinuous in the keep-set, and on outlier-heavy tracks the
+optimizer exploits it — "improving" error by moving poses until landmarks
+eject (measured 5-7 m per-solve pose yanks). A window-scale trust region
+(SUPERSLAM_WS_MAX_MOVE_M, default 5 m) additionally rejects any solve that
+moves a keyframe by metres.
+
 GTSAM's SmartStereoProjectionPoseFactor is implemented here in its
 variable-projection form: at every linearization each landmark is
 re-triangulated from the current poses (Gauss-Newton on the point, poses
@@ -83,7 +92,7 @@ class WindowSmoother:
 
         sigma_px = env_float("SUPERSLAM_SMART_SIGMA_PX", 1.0)
         max_iters = env_int("SUPERSLAM_WS_MAX_ITERS", 4)
-        dyn_outlier_px = 3.0
+        dyn_outlier_px = env_float("SUPERSLAM_WS_OUTLIER_PX", 3.0)
         prior_sigma = 1e-4
         prior_pose = poses[0]
 
@@ -118,39 +127,127 @@ class WindowSmoother:
         if not groups:
             return
 
+        # Robust gating, deviating deliberately from GTSAM's
+        # setDynamicOutlierRejectionThreshold (WindowSmoother.cc:77) which
+        # re-evaluates the 3 px gate at every linearization. That makes the
+        # LM cost discontinuous in the keep-set, and on outlier-heavy tracks
+        # the optimizer exploits it — "improving" error by yanking poses
+        # until landmarks eject (measured 5-7 m per-solve moves, ATE
+        # 1.5 -> 1794 m on the rendered-world sequence). Here instead:
+        #   * the gate is evaluated ONCE at the seed poses and FROZEN for the
+        #     solve (dyn passed down as 0) — the LM cost stays continuous;
+        #   * with the Huber loss on (SUPERSLAM_WS_HUBER_K > 0) the seed gate
+        #     is widened 2x, since seed-pose error inflates honest residuals
+        #     and the robust loss bounds whatever junk the wider gate admits;
+        #   * SUPERSLAM_WS_ROUNDS > 1 re-evaluates the gate at the refined
+        #     poses and re-solves (classic optimize/re-gate/re-optimize) —
+        #     useful when seeds are systematically off but measurements are
+        #     clean; NOT the default, because on outlier-heavy data the
+        #     re-gate admits junk consistent with the moved poses (measured
+        #     km-scale blowups via tracker feedback).
+        max_move = env_float("SUPERSLAM_WS_MAX_MOVE_M", 0.5)
+        n_rounds = env_int("SUPERSLAM_WS_ROUNDS", 1)
+        huber_k = env_float("SUPERSLAM_WS_HUBER_K", 1.345)
+        seed_gate = dyn_outlier_px * (2.0 if huber_k > 0 else 1.0)
+        seeds = poses
+        accepted = None
         try:
             with profile_scope("ws_solve"):
-                if os.environ.get("SUPERSLAM_XLA_SMOOTHER") == "1":
-                    result = self._lm_xla(
-                        poses, groups, sigma_px, dyn_outlier_px, max_iters
+                for _round in range(n_rounds):
+                    fgroups = self._prefilter_groups(
+                        poses, groups, seed_gate
                     )
-                else:
-                    result = None
-                    if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
-                        from .. import native
-
-                        if native.available():
-                            result = self._lm_native(
-                                poses, groups, sigma_px, dyn_outlier_px,
-                                prior_sigma, max_iters,
-                            )
+                    if not fgroups:
+                        break
+                    result = self._solve_backend(
+                        poses, fgroups, sigma_px, prior_pose, prior_sigma,
+                        max_iters, huber_k,
+                    )
                     if result is None:
-                        result = self._lm(
-                            poses, groups, sigma_px, dyn_outlier_px, prior_pose,
-                            prior_sigma, max_iters,
-                        )
+                        break
+                    # Divergence guards: non-finite / exploded
+                    # (WindowSmoother.cc:106-109) plus a window-scale trust
+                    # region — a batch refinement of VO-seeded keyframes has
+                    # no business moving any pose by metres; a solve that
+                    # does is chasing outlier tracks and keeping the seeds is
+                    # strictly safer. SUPERSLAM_WS_MAX_MOVE_M tunes
+                    # (<=0 disables).
+                    bad = False
+                    for p, seed in zip(result, seeds):
+                        if not p.is_finite() or p.translation_norm() > 1e6:
+                            bad = True
+                            break
+                        if max_move > 0 and (
+                            np.linalg.norm(p.t - seed.t) > max_move
+                        ):
+                            bad = True
+                            break
+                    if bad:
+                        break
+                    accepted = result
+                    poses = result
         except Exception:
-            return  # keep previous poses (WindowSmoother.cc:112-116)
+            pass  # keep best-so-far poses (WindowSmoother.cc:112-116)
 
-        if result is None:
+        if accepted is None:
             return
-        for p in result:
-            if not p.is_finite() or p.translation_norm() > 1e6:
-                return  # LM diverged; keep all previous poses
-        for kf, p in zip(kf_ids, result):
+        for kf, p in zip(kf_ids, accepted):
             self._poses[kf] = p
 
+    def _solve_backend(
+        self,
+        poses: list[Pose3],
+        groups: dict,
+        sigma_px: float,
+        prior_pose: Pose3,
+        prior_sigma: float,
+        max_iters: int,
+        huber_k: float = 0.0,
+    ) -> list[Pose3] | None:
+        """One LM pass on a frozen landmark set via the selected backend."""
+        if os.environ.get("SUPERSLAM_XLA_SMOOTHER") == "1":
+            return self._lm_xla(
+                poses, groups, sigma_px, 0.0, max_iters, huber_k
+            )
+        if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
+            from .. import native
+
+            if native.available():
+                return self._lm_native(
+                    poses, groups, sigma_px, 0.0, prior_sigma, max_iters,
+                    huber_k,
+                )
+        return self._lm(
+            poses, groups, sigma_px, 0.0, prior_pose, prior_sigma, max_iters,
+            huber_k,
+        )
+
     # -- internals ----------------------------------------------------------
+    def _prefilter_groups(
+        self, poses: list[Pose3], groups: dict, dyn_outlier_px: float
+    ) -> dict:
+        """Apply the dynamic-outlier gate once, at the seed poses.
+
+        Triangulates every track from the seeds and drops landmarks whose max
+        per-view reprojection error exceeds ``dyn_outlier_px`` (or that fail
+        cheirality). The surviving set is then held fixed for the LM."""
+        if dyn_outlier_px <= 0:
+            return groups
+        R, t = self._pose_arrays(poses)
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for m, (views, meas) in groups.items():
+            X, ok = self._triangulate_group(R, t, views, meas)
+            Rv, tv = R[views], t[views]
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+            z = p[..., 2]
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            r = self._residuals_from_cam(p, 1.0 / zs, meas)
+            maxerr = np.max(np.linalg.norm(r, axis=-1), axis=-1)
+            keep = ok & (maxerr < dyn_outlier_px)
+            if keep.any():
+                out[m] = (views[keep], meas[keep])
+        return out
+
     def _pose_arrays(self, poses: list[Pose3]) -> tuple[np.ndarray, np.ndarray]:
         R = np.stack([p.R for p in poses])  # (K,3,3)
         t = np.stack([p.t for p in poses])  # (K,3)
@@ -237,8 +334,13 @@ class WindowSmoother:
         dyn_outlier_px: float,
         prior_pose: Pose3,
         prior_info: float,
+        huber_k: float = 0.0,
     ) -> float:
-        """Total 0.5*chi2 with fresh triangulation (smart-factor error)."""
+        """Total robust chi2 with fresh triangulation (smart-factor error).
+
+        huber_k > 0 applies a Huber loss on the whitened per-view residual
+        norm (rho = 0.5 e^2 for e <= k, k*e - 0.5 k^2 beyond); 0 is the plain
+        quadratic (GTSAM-parity) cost."""
         R, t = self._pose_arrays(poses)
         err = 0.0
         for m, (views, meas) in groups.items():
@@ -256,7 +358,16 @@ class WindowSmoother:
             if not keep.any():
                 continue
             rw = r[keep] * inv_sigma
-            err += 0.5 * float(np.sum(rw * rw))
+            e = np.linalg.norm(rw, axis=-1)
+            if huber_k > 0:
+                rho = np.where(
+                    e <= huber_k,
+                    0.5 * e * e,
+                    huber_k * e - 0.5 * huber_k * huber_k,
+                )
+                err += float(np.sum(rho))
+            else:
+                err += 0.5 * float(np.sum(e * e))
         dxi = prior_pose.local(poses[0])
         err += 0.5 * float(dxi @ dxi) * prior_info
         return err
@@ -269,6 +380,7 @@ class WindowSmoother:
         dyn_outlier_px: float,
         prior_sigma: float,
         max_iters: int,
+        huber_k: float = 0.0,
     ) -> list[Pose3] | None:
         """Native C++ window LM (csrc ssl_window_lm) — the same VarPro
         smart-factor semantics as _lm (the numpy oracle, pinned by
@@ -295,6 +407,7 @@ class WindowSmoother:
             dyn_outlier_px=dyn_outlier_px,
             prior_info=1.0 / (prior_sigma * prior_sigma),
             max_iters=max_iters,
+            huber_k=huber_k,
         )
 
     def _lm_xla(
@@ -304,6 +417,7 @@ class WindowSmoother:
         sigma_px: float,
         dyn_outlier_px: float,
         max_iters: int,
+        huber_k: float = 0.0,
     ) -> list[Pose3] | None:
         """SUPERSLAM_XLA_SMOOTHER=1: the whole window LM as one on-device
         program (ops/window_solver.py::solve_window, oracle-pinned to the
@@ -345,6 +459,7 @@ class WindowSmoother:
             prior_info=1e8,  # gauge prior sigma 1e-4, as the numpy path
             num_poses=K,
             max_iters=max_iters,
+            huber_k=huber_k,
         )
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
@@ -365,20 +480,23 @@ class WindowSmoother:
         prior_pose: Pose3,
         prior_sigma: float,
         max_iters: int,
+        huber_k: float = 0.0,
     ) -> list[Pose3] | None:
         K = len(poses)
         inv_sigma = 1.0 / sigma_px
         prior_info = 1.0 / (prior_sigma * prior_sigma)
 
         err = self._error_and_points(
-            poses, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+            poses, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info,
+            huber_k,
         )
         lam, lam_factor = 1e-5, 10.0
         rel_tol = abs_tol = 1e-3
 
         for _ in range(max_iters):
             Hb = self._build_reduced_system(
-                poses, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+                poses, groups, inv_sigma, dyn_outlier_px, prior_pose,
+                prior_info, huber_k,
             )
             if Hb is None:
                 return poses
@@ -395,7 +513,8 @@ class WindowSmoother:
                     p.retract(delta[6 * i : 6 * i + 6]) for i, p in enumerate(poses)
                 ]
                 cand_err = self._error_and_points(
-                    cand, groups, inv_sigma, dyn_outlier_px, prior_pose, prior_info
+                    cand, groups, inv_sigma, dyn_outlier_px, prior_pose,
+                    prior_info, huber_k,
                 )
                 if cand_err < err:
                     improvement = err - cand_err
@@ -420,6 +539,7 @@ class WindowSmoother:
         dyn_outlier_px: float,
         prior_pose: Pose3,
         prior_info: float,
+        huber_k: float = 0.0,
     ) -> tuple[np.ndarray, np.ndarray] | None:
         """Schur-reduced camera system: H (6K,6K), b (6K).
 
@@ -468,6 +588,14 @@ class WindowSmoother:
             U = np.einsum("lmij,lmjk->lmik", Jp, Dcam) * inv_sigma  # (L,m,3,6)
             Jx = np.einsum("lmij,lmkj->lmik", Jp, Rv) * inv_sigma  # (L,m,3,3)
             rw = r * inv_sigma
+            if huber_k > 0:
+                # IRLS Huber: scale each view's whitened residual/Jacobian by
+                # sqrt(min(1, k/e)) so outlier views have bounded influence.
+                e = np.linalg.norm(rw, axis=-1)  # (L,m)
+                sw = np.sqrt(np.minimum(1.0, huber_k / np.maximum(e, 1e-12)))
+                U = U * sw[..., None, None]
+                Jx = Jx * sw[..., None, None]
+                rw = rw * sw[..., None]
 
             A = np.einsum("lmij,lmik->ljk", Jx, Jx) + 1e-12 * np.eye(3)
             try:

@@ -74,7 +74,7 @@ def _load() -> ctypes.CDLL | None:
             _d, ctypes.c_int, _i32, _d, _i32, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            _d, ctypes.c_int,
+            ctypes.c_double, _d, ctypes.c_int,
         ]
         _LIB = lib
     except OSError:
@@ -171,6 +171,7 @@ def window_lm(
     dyn_outlier_px: float,
     prior_info: float,
     max_iters: int,
+    huber_k: float = 0.0,
 ) -> list[Pose3]:
     """Native sliding-window smart-factor LM (csrc ssl_window_lm); the
     numpy WindowSmoother._lm is the oracle."""
@@ -189,6 +190,7 @@ def window_lm(
         int(L), int(m_max),
         calib.fx, calib.fy, calib.cx, calib.cy, calib.baseline,
         float(inv_sigma), float(dyn_outlier_px), float(prior_info),
+        float(huber_k),
         out,
         int(max_iters),
     )

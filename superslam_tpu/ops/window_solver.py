@@ -99,6 +99,7 @@ def build_reduced_system(
     dyn_outlier_px: float,
     num_poses: int,
     obs_valid: jnp.ndarray | None = None,  # (L, m) per-observation mask
+    huber_k: float = 0.0,
 ):
     """Returns (H (6K, 6K), b (6K,), error scalar) — Schur-reduced over the
     landmark group, with ZERO_ON_DEGENERACY + dynamic outlier rejection
@@ -118,7 +119,9 @@ def build_reduced_system(
     iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
     r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline) * ov[..., None]
     maxerr = jnp.max(jnp.linalg.norm(r, axis=-1), axis=-1)
-    keep = ok & lm_valid & (maxerr < dyn_outlier_px)
+    # dyn_outlier_px <= 0 disables the dynamic gate (the smoother pre-filters
+    # outliers at the seed poses and passes 0 down; window_smoother.py).
+    keep = ok & lm_valid & ((dyn_outlier_px <= 0) | (maxerr < dyn_outlier_px))
     wl = keep.astype(jnp.float32)  # (L,)
 
     Jp = _proj_jacobian(p, iz, fx, fy, baseline) * ov[..., None, None]
@@ -136,6 +139,17 @@ def build_reduced_system(
     U = jnp.einsum("lmij,lmjk->lmik", Jp, Dcam) * inv_sigma
     Jx = jnp.einsum("lmij,lmkj->lmik", Jp, Rv) * inv_sigma
     rw = r * inv_sigma
+    # IRLS Huber (huber_k > 0): scale each view's whitened residual/Jacobians
+    # by sqrt(min(1, k/e)) — mirrors WindowSmoother._build_reduced_system.
+    e = jnp.linalg.norm(rw, axis=-1)  # (L, m); padded views give e = 0
+    sw = jnp.where(
+        huber_k > 0,
+        jnp.sqrt(jnp.minimum(1.0, huber_k / jnp.maximum(e, 1e-12))),
+        1.0,
+    )
+    U = U * sw[..., None, None]
+    Jx = Jx * sw[..., None, None]
+    rw = rw * sw[..., None]
 
     # Zero dropped landmarks so their Schur terms vanish.
     U = U * wl[:, None, None, None]
@@ -168,7 +182,10 @@ def build_reduced_system(
     return H, b, err
 
 
-def _window_error(R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_px):
+def _window_error(
+    R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_px,
+    huber_k=0.0,
+):
     fx, fy, cx, cy, baseline = calib
     ov = obs_valid.astype(jnp.float32)
     X, ok = triangulate(R, t, views, meas, calib, obs_valid=obs_valid)
@@ -178,9 +195,17 @@ def _window_error(R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_
     iz = 1.0 / jnp.where(z > 1e-9, z, 1.0)
     r = _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline) * ov[..., None]
     maxerr = jnp.max(jnp.linalg.norm(r, axis=-1), axis=-1)
-    keep = (ok & lm_valid & (maxerr < dyn_px)).astype(jnp.float32)
+    keep = (ok & lm_valid & ((dyn_px <= 0) | (maxerr < dyn_px))).astype(
+        jnp.float32
+    )
     rw = r * inv_sigma * keep[:, None, None]
-    return 0.5 * jnp.sum(rw * rw)
+    e = jnp.linalg.norm(rw, axis=-1)  # (L, m) whitened per-view norms
+    rho = jnp.where(
+        (huber_k > 0) & (e > huber_k),
+        huber_k * e - 0.5 * huber_k * huber_k,
+        0.5 * e * e,
+    )
+    return jnp.sum(rho)
 
 
 @functools.partial(jax.jit, static_argnames=("num_poses", "max_iters"))
@@ -197,6 +222,7 @@ def solve_window(
     prior_info: float,
     num_poses: int,
     max_iters: int = 4,
+    huber_k: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full smart-stereo window LM on device: the `lax.while_loop` driver
     around the Schur-reduced system (WindowSmoother._lm semantics: gauge
@@ -215,7 +241,8 @@ def solve_window(
     def total_error(R, t):
         e, _ = prior_err(R, t)
         return e + _window_error(
-            R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma, dyn_outlier_px
+            R, t, views, meas, lm_valid, obs_valid, calib, inv_sigma,
+            dyn_outlier_px, huber_k,
         )
 
     def retract_all(R, t, delta):
@@ -237,7 +264,7 @@ def solve_window(
         i, R, t, lam, err, done = state
         H, b, _ = build_reduced_system(
             R, t, views, meas, lm_valid, calib, inv_sigma, dyn_outlier_px,
-            num_poses=K, obs_valid=obs_valid,
+            num_poses=K, obs_valid=obs_valid, huber_k=huber_k,
         )
         _, dxi0 = prior_err(R, t)
         H = H.at[:6, :6].add(prior_info * jnp.eye(6))

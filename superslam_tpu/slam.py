@@ -74,6 +74,7 @@ class SuperSLAM:
         sp_borders = int(cfg.get("superpoint.remove_borders", 4))
         lg_w = int(cfg.get("lightglue.image_width", cfg.get("Camera.width", 640)))
         lg_h = int(cfg.get("lightglue.image_height", cfg.get("Camera.height", 480)))
+        lg_thresh = float(cfg.get("lightglue.match_threshold", 0.1))
 
         def weights(block: str, default_name: str) -> str | None:
             name = cfg.get(f"{block}.weights_file", default_name)
@@ -105,7 +106,11 @@ class SuperSLAM:
             remove_borders=sp_borders,
         )
         self.matcher = LightGlueMatcher(
-            lg_params, image_width=lg_w, image_height=lg_h, max_keypoints=sp_max_kp
+            lg_params,
+            image_width=lg_w,
+            image_height=lg_h,
+            max_keypoints=sp_max_kp,
+            threshold=lg_thresh,
         )
 
         # Stereo vs RGB-D keyed on DepthMapFactor (SuperSLAM.cc:89-108).
@@ -136,6 +141,7 @@ class SuperSLAM:
                 max_keypoints=sp_max_kp,
                 keypoint_threshold=sp_thresh,
                 remove_borders=sp_borders,
+                match_threshold=lg_thresh,
             )
         else:
             self.frontend = StereoFrontEnd(self.extractor, self.matcher, self.calib)
@@ -154,6 +160,7 @@ class SuperSLAM:
                 max_keypoints=sp_max_kp,
                 keypoint_threshold=sp_thresh,
                 remove_borders=sp_borders,
+                match_threshold=lg_thresh,
             )
 
         window_size = int(cfg.get("Backend.window_size", 0) or 0)
@@ -180,6 +187,7 @@ class SuperSLAM:
                     image_width=lg_w,
                     image_height=lg_h,
                     max_keypoints=sp_max_kp,
+                    threshold=lg_thresh,
                 )
                 params = LoopParams()
                 if cfg.get("loop.min_inliers") is not None:

@@ -118,3 +118,89 @@ def test_xla_smoother_matches_numpy(monkeypatch):
         # both recover ground truth
     for k, tp in enumerate(gt):
         assert np.linalg.norm(got[k].t - tp.t) < 0.05
+
+
+def _contaminated_window(rng, calib, n_good=40, n_bad=16):
+    """4 keyframes, good landmarks observed with mild noise plus wrong-
+    association tracks: each bad track mixes measurements of two DIFFERENT
+    3-D points (the failure mode noisy matchers feed the smoother)."""
+    gt = [Pose3(t=np.array([0.25 * i, 0.0, 0.0])) for i in range(4)]
+    good = rng.uniform([-5, -3, 6], [5, 3, 20], size=(n_good, 3))
+    bad_a = rng.uniform([-5, -3, 6], [5, 3, 20], size=(n_bad, 3))
+    bad_b = bad_a + rng.uniform(0.5, 2.0, size=(n_bad, 3))
+    per_kf = []
+    for k, tp in enumerate(gt):
+        obs = []
+        for j, X in enumerate(good):
+            obs.append(StereoObs(j, stereo_project(tp, calib, X) + rng.normal(0, 0.5, 3)))
+        for j in range(n_bad):
+            X = bad_a[j] if k < 2 else bad_b[j]  # association switches mid-track
+            obs.append(
+                StereoObs(n_good + j, stereo_project(tp, calib, X) + rng.normal(0, 0.5, 3))
+            )
+        per_kf.append(obs)
+    return gt, per_kf
+
+
+def test_outlier_tracks_cannot_yank_window():
+    """Regression for the r3 rendered-world blowup: with GTSAM's per-
+    linearization outlier re-gate the LM could 'improve' error by moving
+    poses until landmarks eject (5-7 m per-solve yanks, ATE 1.5 -> 1794 m).
+    The frozen seed gate + Huber + trust region must keep every solve
+    bounded AND not degrade the seeds."""
+    rng = np.random.default_rng(5)
+    calib = make_calib()
+    gt, per_kf = _contaminated_window(rng, calib)
+    offset = Pose3.expmap(np.array([0.0, 0.002, -0.003, 0.03, -0.02, 0.02]))
+
+    sm = WindowSmoother(calib, window_size=4)
+    seeds = []
+    for k, tp in enumerate(gt):
+        seed = tp if k == 0 else tp * offset
+        seeds.append(seed)
+        sm.add_keyframe(k, seed, per_kf[k])
+    sm.optimize()
+
+    seed_err = max(np.linalg.norm(s.t - g.t) for s, g in zip(seeds, gt))
+    for k, tp in enumerate(gt):
+        p = sm.pose_of(k)
+        # bounded: no solve may move a pose past the trust region
+        assert np.linalg.norm(p.t - seeds[k].t) <= 0.5 + 1e-9
+        # and the contaminated solve must not be worse than the seeds
+        assert np.linalg.norm(p.t - tp.t) <= seed_err + 0.02
+
+
+def test_huber_native_matches_numpy_on_outliers():
+    """The IRLS Huber weighting (SUPERSLAM_WS_HUBER_K) must agree between
+    the numpy oracle and csrc ssl_window_lm on outlier-contaminated
+    windows — the regime where the r3 native/numpy divergence appeared."""
+    from superslam_tpu import native
+
+    if not native.build():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    calib = make_calib()
+    gt, per_kf = _contaminated_window(rng, calib)
+    offset = Pose3.expmap(np.array([0.0, -0.002, 0.004, -0.04, 0.03, 0.05]))
+
+    def run(native_on):
+        import os
+
+        os.environ["SUPERSLAM_NATIVE"] = "1" if native_on else "0"
+        try:
+            sm = WindowSmoother(calib, window_size=4)
+            for k, tp in enumerate(gt):
+                seed = tp if k == 0 else tp * offset
+                sm.add_keyframe(k, seed, per_kf[k])
+            sm.optimize()
+            return [sm.pose_of(k) for k in range(4)]
+        finally:
+            os.environ.pop("SUPERSLAM_NATIVE", None)
+
+    py = run(False)
+    nat = run(True)
+    for a, b in zip(py, nat):
+        np.testing.assert_allclose(b.R, a.R, atol=5e-4)
+        np.testing.assert_allclose(b.t, a.t, atol=5e-3)
