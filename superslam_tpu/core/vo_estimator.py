@@ -34,7 +34,7 @@ import numpy as np
 
 from ..geometry.se3 import Pose3
 from ..geometry.stereo_camera import StereoCalib
-from ..utils.env import env_float, env_int
+from ..utils.env import env_flag, env_float, env_int
 from ..utils.profiler import profile_scope
 from .frame import StereoFrame
 from .frame_tracker import FrameTracker
@@ -288,9 +288,28 @@ class VoEstimator:
             else:
                 Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
                 meas = frame.stereo[np.asarray(fr_idx_list)]
-                frame_pose = self.tracker.track_arrays(
-                    self._previous_frame_pose, Xw, meas
-                )
+                # Init at the constant-velocity prediction and gate matches
+                # against it before the LM (track_gated docstring): Huber
+                # alone diverges under the structured outlier fraction
+                # LightGlue produces at keyframe gaps. The device program
+                # (ops.frontend_step.track_scan) applies the identical
+                # recipe. SUPERSLAM_TRACK_GATE=0 restores the plain solve.
+                pred = self._previous_frame_pose * self._previous_relative
+                if env_flag("SUPERSLAM_TRACK_GATE", True):
+                    frame_pose, _ = self.tracker.track_gated(
+                        pred,
+                        Xw,
+                        meas,
+                        gate_px=env_float("SUPERSLAM_TRACK_GATE_PX", 10.0),
+                        chi2_px=env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0),
+                        chi2_rounds=env_int("SUPERSLAM_TRACK_CHI2_ROUNDS", 2),
+                        min_keep=env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10),
+                        init=self._previous_frame_pose,
+                    )
+                else:
+                    frame_pose = self.tracker.track_arrays(
+                        self._previous_frame_pose, Xw, meas
+                    )
         else:
             frame_pose = self._previous_frame_pose
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core.interfaces import Features
 from ..models.superpoint import superpoint_extract
+from ..utils.env import env_flag
 from ..utils.profiler import profile_scope
 from .features import PaddedFeatures
 
@@ -87,6 +88,7 @@ class SuperPointExtractor:
                 nms_radius=self.nms_radius,
                 true_width=self.width,
                 true_height=self.height,
+                subpixel=env_flag("SUPERSLAM_SP_SUBPIXEL", True),
             )
             # One synchronized host read for the small tensors; descriptors
             # stay on device.

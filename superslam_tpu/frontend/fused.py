@@ -29,16 +29,19 @@ def decode_packed(
 ) -> tuple[StereoFrame, MatchResult]:
     """Decode one frame's int16 packed block (ops.frontend_step layout).
 
-    Valid rows form a prefix (row 0 == -1 marks padding). Match confidences
-    are not transferred (nothing downstream consumes them); MatchResult
-    scores are 1.0.
+    Valid rows form a prefix (row 0 < 0 marks padding). Coordinates and
+    disparity arrive in 1/PACK_SCALE px fixed point (sub-pixel refined on
+    device). Match confidences are not transferred (nothing downstream
+    consumes them); MatchResult scores are 1.0.
     """
+    from ..ops.frontend_step import PACK_SCALE
+
     x = p[0].astype(np.int32)
     n = int((x >= 0).sum())
     feats.n = n
-    uL = x[:n].astype(np.float64)
-    v = p[1, :n].astype(np.float64)
-    disparity = p[2, :n].astype(np.float64)
+    uL = x[:n].astype(np.float64) / PACK_SCALE
+    v = p[1, :n].astype(np.float64) / PACK_SCALE
+    disparity = p[2, :n].astype(np.float64) / PACK_SCALE
     ok = disparity >= 0
     stereo = np.stack(
         [uL, np.where(ok, uL - disparity, np.nan), v], axis=1

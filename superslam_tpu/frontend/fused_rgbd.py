@@ -129,10 +129,16 @@ class FusedRgbdPipeline:
         self, p: np.ndarray, depth: np.ndarray, timestamp: float, feats
     ) -> tuple[StereoFrame, MatchResult]:
         """Host-side decode of one frame's (3, K) int16 block: valid-prefix
-        count, undistortion, raw-pixel depth sampling, uR synthesis."""
-        n = int((p[0].astype(np.int32) >= 0).sum())  # valid prefix (x == -1 pad)
+        count, undistortion, raw-pixel depth sampling, uR synthesis.
+        Coordinates arrive in 1/PACK_SCALE px fixed point."""
+        from ..ops.frontend_step import PACK_SCALE
+
+        n = int((p[0].astype(np.int32) >= 0).sum())  # valid prefix (x < 0 pad)
         feats.n = n
-        raw = np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float64)
+        raw = (
+            np.stack([p[0, :n], p[1, :n]], axis=1).astype(np.float64)
+            / PACK_SCALE
+        )
         if self.dist_coeffs is not None and n > 0:
             undist = undistort_points(raw.astype(np.float64), self.calib, self.dist_coeffs)
         else:

@@ -212,7 +212,8 @@ def superpoint_dense(
     nms_radius: int = 4,
     compute_dtype=jnp.bfloat16,
     use_pallas_convs: bool | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_pre_nms: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Dense forward pass.
 
     Args:
@@ -220,9 +221,13 @@ def superpoint_dense(
         the Pallas conv path is active, W is internally padded to a lane
         multiple and the outputs are sliced back, so results match the XLA
         path up to bf16 rounding.
+      return_pre_nms: also return the heatmap BEFORE non-max suppression —
+        the 3x3 neighborhoods select_keypoints' sub-pixel refinement needs
+        (NMS zeroes exactly those neighbors).
     Returns:
       scores (B, H, W) f32 NMS'd heatmap;
-      descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype).
+      descriptors (B, H/8, W/8, 256) L2-normalized grid (compute_dtype);
+      [pre_nms (B, H, W) f32 when return_pre_nms].
     """
     b_, h_, w_ = image.shape
     logits, desc_raw, use_pallas_convs = _encoder_and_heads(
@@ -233,6 +238,7 @@ def superpoint_dense(
     # Depth-to-space: (B, h, w, 8, 8) -> (B, h*8, w*8).
     scores = scores.reshape(b, h, w, CELL, CELL)
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * CELL, w * CELL)
+    pre_nms = scores if return_pre_nms else None
 
     if nms_radius > 0:
         hs = scores.shape[1]
@@ -262,6 +268,10 @@ def superpoint_dense(
     if scores.shape[2] != w_:  # slice off the Pallas path's lane padding
         scores = scores[:, :, :w_]
         desc = desc[:, :, : w_ // CELL]
+        if pre_nms is not None:
+            pre_nms = pre_nms[:, :, :w_]
+    if return_pre_nms:
+        return scores, desc, pre_nms
     return scores, desc
 
 
@@ -274,6 +284,7 @@ def select_keypoints(
     true_width: int | None = None,
     true_height: int | None = None,
     use_pallas: bool = False,
+    raw_scores: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device top-K keypoint selection + nearest-cell descriptor gather.
 
@@ -288,6 +299,14 @@ def select_keypoints(
       descriptors: (B, H/8, W/8, D) normalized grid.
       true_width/true_height: the un-padded image extent; borders are
         enforced against it so padding never produces keypoints.
+      raw_scores: optional (B, H, W) PRE-NMS heatmap. When given, each
+        keypoint is refined to sub-pixel position by independent 1-D
+        parabolic fits over the raw 3x3 neighborhood (offsets clamped to
+        +-0.5 px). The reference keeps integer NMS peaks
+        (src/SuperPoint.cc:696-750); at stereo depth Z the induced depth
+        noise is Z^2/(fx*b) per px of disparity error, so the sub-pixel
+        gain compounds — a deliberate accuracy improvement, env-gated
+        SUPERSLAM_SP_SUBPIXEL in the pipeline paths.
     Returns:
       kpts (B, K, 2) f32 (x, y) pixels; kp_scores (B, K) f32;
       valid (B, K) bool; desc (B, K, D) gathered rows (renormalized f32).
@@ -341,6 +360,27 @@ def select_keypoints(
     desc = jnp.where(valid[..., None], desc, 0.0)
 
     kpts = jnp.stack([xx, yy], axis=-1).astype(jnp.float32)
+    if raw_scores is not None:
+        rflat = raw_scores.reshape(b, h * w)
+
+        def nb(dy: int, dx: int) -> jnp.ndarray:
+            yq = jnp.clip(yy + dy, 0, h - 1)
+            xq = jnp.clip(xx + dx, 0, w - 1)
+            return jnp.take_along_axis(rflat, yq * w + xq, axis=1)
+
+        def para(sm: jnp.ndarray, s0: jnp.ndarray, sp: jnp.ndarray):
+            # Vertex of the parabola through (-1, sm), (0, s0), (1, sp);
+            # a peak has negative curvature, anything else keeps 0.
+            denom = sm - 2.0 * s0 + sp
+            safe = jnp.where(denom < -1e-9, denom, -1.0)
+            off = jnp.where(denom < -1e-9, 0.5 * (sm - sp) / safe, 0.0)
+            return jnp.clip(off, -0.5, 0.5)
+
+        s0 = nb(0, 0)
+        dx = para(nb(0, -1), s0, nb(0, 1))
+        dy = para(nb(-1, 0), s0, nb(1, 0))
+        off = jnp.stack([dx, dy], axis=-1) * valid[..., None]
+        kpts = kpts + off
     return kpts, top_scores, valid, desc
 
 
@@ -353,6 +393,7 @@ def select_keypoints(
         "nms_radius",
         "true_width",
         "true_height",
+        "subpixel",
     ),
 )
 def superpoint_extract(
@@ -364,14 +405,20 @@ def superpoint_extract(
     nms_radius: int = 4,
     true_width: int | None = None,
     true_height: int | None = None,
+    subpixel: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full extraction: dense heads + on-device selection, one XLA program.
 
     image: (B, H, W) f32 in [0, 1]. The stereo path is simply B=2 — the
     reference's batched {2,1,H,W} enqueue (src/SuperPoint.cc:754-892) is the
-    natural leading batch dimension here.
+    natural leading batch dimension here. subpixel=True adds the 3x3
+    parabolic refinement (select_keypoints docstring); default off to stay
+    output-identical to the reference extractor.
     """
-    scores, desc = superpoint_dense(params, image, nms_radius=nms_radius)
+    out = superpoint_dense(
+        params, image, nms_radius=nms_radius, return_pre_nms=subpixel
+    )
+    scores, desc = out[0], out[1]
     return select_keypoints(
         scores,
         desc,
@@ -380,6 +427,7 @@ def superpoint_extract(
         remove_borders,
         true_width,
         true_height,
+        raw_scores=out[2] if subpixel else None,
     )
 
 

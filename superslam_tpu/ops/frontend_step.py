@@ -25,10 +25,16 @@ coordinates and the stereo gates run on device, so four int16 rows carry
 everything the estimator needs — 4.8 KB/frame instead of 24 KB.
 
 Packed row layout (int16, shape (PACK_ROWS, K)):
-  0: kpt x (left), -1 for invalid rows (valid rows form a prefix)
-  1: kpt y (left)
-  2: stereo disparity (uL - uR), -1 when the stereo gates failed
-  3: track match index into the KF set (-1 = none)
+  0: kpt x (left) in 1/PACK_SCALE px fixed point, <0 for invalid rows
+     (valid rows form a prefix)
+  1: kpt y (left), same fixed point
+  2: stereo disparity (uL - uR), same fixed point, <0 when the stereo
+     gates failed
+  3: track match index into the KF set (-1 = none; plain integer)
+
+Fixed point because keypoints are sub-pixel refined (SUPERSLAM_SP_SUBPIXEL,
+models/superpoint.select_keypoints): 1/16 px quantization over int16 covers
+images up to 2047 px wide while keeping the readback at 4 rows.
 """
 
 from __future__ import annotations
@@ -40,8 +46,10 @@ import jax.numpy as jnp
 
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
+from ..utils.env import env_flag
 
 PACK_ROWS = 4
+PACK_SCALE = 16.0  # 1/16 px fixed point in the int16 readback
 
 
 def _frontend_core(
@@ -68,7 +76,14 @@ def _frontend_core(
     """
     S = images_u8.shape[0] // 2
     images = images_u8.astype(jnp.float32) / 255.0
-    scores, grid = superpoint_dense(sp_params, images, nms_radius=nms_radius)
+    # Sub-pixel peaks (env-gated, default on): disparity noise converts to
+    # depth noise as Z^2/(fx*b) per px, so the refinement directly tightens
+    # the stereo factors downstream.
+    subpixel = env_flag("SUPERSLAM_SP_SUBPIXEL", True)
+    out = superpoint_dense(
+        sp_params, images, nms_radius=nms_radius, return_pre_nms=subpixel
+    )
+    scores, grid = out[0], out[1]
     kpts, kp_scores, valid, desc = select_keypoints(
         scores,
         grid,
@@ -77,6 +92,7 @@ def _frontend_core(
         remove_borders,
         true_width,
         true_height,
+        raw_scores=out[2] if subpixel else None,
     )
     kl, kr = kpts[0::2], kpts[1::2]  # (S, K, 2)
     dl, dr = desc[0::2], desc[1::2]
@@ -128,13 +144,14 @@ def _pack(kl, vl, disparity, stereo_ok, track_m):
     S, K = kl.shape[0], kl.shape[1]
     packed = jnp.stack(
         [
-            jnp.where(vl, kl[..., 0], -1.0),
-            kl[..., 1],
-            jnp.where(stereo_ok, disparity, -1.0),
+            jnp.where(vl, kl[..., 0] * PACK_SCALE, -1.0),
+            kl[..., 1] * PACK_SCALE,
+            jnp.where(stereo_ok, disparity * PACK_SCALE, -1.0),
             track_m.astype(jnp.float32),
         ],
         axis=1,
-    ).astype(jnp.int16)
+    )
+    packed = jnp.round(packed).astype(jnp.int16)
     # Emit rank-2 (S*PACK_ROWS, K): rank-3 D2H is pathological on tunneled
     # hosts and an out-of-program reshape would cost an extra host-link op.
     return packed.reshape(S * PACK_ROWS, K)
@@ -336,6 +353,9 @@ def track_scan(
     disp_cond: float,
     track_iters: int = 20,
     mono: bool = False,
+    gate_px: float | None = None,
+    chi2_px: float | None = None,
+    chi2_rounds: int | None = None,
 ):
     """The on-device tracking chain: a lax.scan over S frames running the
     pose-only LM per frame with coast-on-loss, exactly the host estimator's
@@ -343,14 +363,37 @@ def track_scan(
     Separated from the fused step so tests can drive it with synthetic
     geometry. Returns (track_out (S, TRACK_COLS) f32, new carry).
 
+    The solve is PRIOR-GATED, mirroring FrameTracker.track_gated exactly:
+    matches are rejected against the constant-velocity predicted pose
+    (reprojection distance > gate_px) before the LM — which still inits at
+    the PREVIOUS pose; init-at-prediction feeds the solver's residual error
+    back through the velocity carry and diverges on weakly-observable
+    geometry (track_gated docstring) — then `chi2_rounds` re-solves on
+    shrinking chi2 inlier sets. Huber alone diverges under the structured
+    outliers LightGlue produces at keyframe gaps.
+    gate_px/chi2_px/chi2_rounds default from SUPERSLAM_TRACK_GATE{,_PX} /
+    SUPERSLAM_TRACK_CHI2_{PX,ROUNDS} at trace time; gate_px=0 disables the
+    pre-gate, chi2_rounds=0 the re-rounds. min_matches doubles as the
+    minimum kept-set size.
+
     mono=True zeroes the uR residual weight: the RGB-D device program has
     no frame-side depth (the sensor depth image never visits the device,
     mirroring the reference's RgbdFrontEnd split), so its solve uses (uL, v)
     reprojection only — the KF world points carry the metric scale. Pass
     disparity=0 and stereo_ok=valid in that mode."""
+    from ..utils.env import env_float, env_int
     from .pose_solver import pose_only_lm_impl
 
+    gate_on = env_flag("SUPERSLAM_TRACK_GATE", True)
+    if gate_px is None:
+        gate_px = env_float("SUPERSLAM_TRACK_GATE_PX", 10.0) if gate_on else 0.0
+    if chi2_px is None:
+        chi2_px = env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
+    if chi2_rounds is None:
+        chi2_rounds = env_int("SUPERSLAM_TRACK_CHI2_ROUNDS", 2) if gate_on else 0
+
     inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
+    fx, fy, cx, cy, _ = calib
 
     def step(c, per_frame):
         R_prev, t_prev, Rr, tr = c
@@ -372,16 +415,55 @@ def track_scan(
             axis=1,
         )
         n = jnp.sum(ok)
+
+        # Constant-velocity prediction: the GATING pose (the LM inits at
+        # the previous pose — see docstring).
+        R_pred = R_prev @ Rr
+        t_pred = R_prev @ tr + t_prev
+
+        def resid(R, t):
+            p = (kf_xw - t) @ R  # rows are R^T (X - t), camera frame
+            z = p[:, 2]
+            zok = z > 0.1
+            zs = jnp.where(zok, z, 1.0)
+            uL_hat = fx * p[:, 0] / zs + cx
+            v_hat = fy * p[:, 1] / zs + cy
+            return jnp.hypot(uL_hat - uL, v_hat - v), zok
+
+        keep = ok
+        if gate_px > 0:
+            r0, zok0 = resid(R_pred, t_pred)
+            k0 = ok & zok0 & (r0 < gate_px)
+            keep = jnp.where(jnp.sum(k0) >= min_matches, k0, ok)
         R_s, t_s = pose_only_lm_impl(
             R_prev,
             t_prev,
             kf_xw,
             meas,
             inv_sig,
-            ok.astype(jnp.float32),
+            keep.astype(jnp.float32),
             calib,
             track_iters,
         )
+        stopped = jnp.array(False)
+        for _ in range(chi2_rounds):
+            r, zok = resid(R_s, t_s)
+            k2 = ok & zok & (r < chi2_px)
+            round_ok = (jnp.sum(k2) >= min_matches) & jnp.logical_not(stopped)
+            keep = jnp.where(round_ok, k2, keep)
+            R_n, t_n = pose_only_lm_impl(
+                R_s,
+                t_s,
+                kf_xw,
+                meas,
+                inv_sig,
+                keep.astype(jnp.float32),
+                calib,
+                track_iters,
+            )
+            R_s = jnp.where(round_ok, R_n, R_s)
+            t_s = jnp.where(round_ok, t_n, t_s)
+            stopped = stopped | jnp.logical_not(round_ok)
         use = n >= min_matches
         R_coast = R_prev @ Rr
         t_coast = R_prev @ tr + t_prev

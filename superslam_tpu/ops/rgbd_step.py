@@ -20,8 +20,12 @@ import jax.numpy as jnp
 
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
+from ..utils.env import env_flag
+from .frontend_step import PACK_SCALE
 
-RGBD_PACK_ROWS = 3  # int16 rows: [kpt x (-1 = invalid), kpt y, track match idx]
+# int16 rows: [kpt x (<0 = invalid), kpt y, track match idx]; x and y in
+# 1/PACK_SCALE px fixed point (sub-pixel refined keypoints).
+RGBD_PACK_ROWS = 3
 
 
 @functools.partial(
@@ -54,7 +58,11 @@ def fused_rgbd_step(
     """Returns (packed (RGBD_PACK_ROWS, K), desc (K, D), kpts (K, 2),
     valid (K,))."""
     image = image_u8.astype(jnp.float32) / 255.0
-    scores, grid = superpoint_dense(sp_params, image, nms_radius=nms_radius)
+    subpixel = env_flag("SUPERSLAM_SP_SUBPIXEL", True)
+    out = superpoint_dense(
+        sp_params, image, nms_radius=nms_radius, return_pre_nms=subpixel
+    )
+    scores, grid = out[0], out[1]
     kpts, kp_scores, valid, desc = select_keypoints(
         scores,
         grid,
@@ -63,6 +71,7 @@ def fused_rgbd_step(
         remove_borders,
         true_width,
         true_height,
+        raw_scores=out[2] if subpixel else None,
     )
     kl, dl, vl = kpts[0], desc[0], valid[0]
 
@@ -82,12 +91,13 @@ def fused_rgbd_step(
 
     packed = jnp.stack(
         [
-            jnp.where(vl, kl[:, 0], -1.0),
-            kl[:, 1],
+            jnp.where(vl, kl[:, 0] * PACK_SCALE, -1.0),
+            kl[:, 1] * PACK_SCALE,
             track_m[0].astype(jnp.float32),
         ],
         axis=0,
-    ).astype(jnp.int16)
+    )
+    packed = jnp.round(packed).astype(jnp.int16)
     return packed, dl, kl, vl
 
 
@@ -124,7 +134,11 @@ def fused_rgbd_step_multi(
     Frame s owns rows [s*RGBD_PACK_ROWS, (s+1)*RGBD_PACK_ROWS)."""
     S = images_u8.shape[0]
     images = images_u8.astype(jnp.float32) / 255.0
-    scores, grid = superpoint_dense(sp_params, images, nms_radius=nms_radius)
+    subpixel = env_flag("SUPERSLAM_SP_SUBPIXEL", True)
+    out = superpoint_dense(
+        sp_params, images, nms_radius=nms_radius, return_pre_nms=subpixel
+    )
+    scores, grid = out[0], out[1]
     kpts, kp_scores, valid, desc = select_keypoints(
         scores,
         grid,
@@ -133,6 +147,7 @@ def fused_rgbd_step_multi(
         remove_borders,
         true_width,
         true_height,
+        raw_scores=out[2] if subpixel else None,
     )
 
     scale = max(true_width, true_height) / 2.0
@@ -147,12 +162,13 @@ def fused_rgbd_step_multi(
 
     packed = jnp.stack(
         [
-            jnp.where(valid, kpts[..., 0], -1.0),
-            kpts[..., 1],
+            jnp.where(valid, kpts[..., 0] * PACK_SCALE, -1.0),
+            kpts[..., 1] * PACK_SCALE,
             track_m.astype(jnp.float32),
         ],
         axis=1,
-    ).astype(jnp.int16)  # (S, 3, K)
+    )  # (S, 3, K)
+    packed = jnp.round(packed).astype(jnp.int16)
     return packed.reshape(S * RGBD_PACK_ROWS, -1), desc, kpts, valid
 
 

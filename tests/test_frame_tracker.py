@@ -46,3 +46,71 @@ def test_empty_matches_returns_seed():
     seed = Pose3(t=np.array([1.0, 2.0, 3.0]))
     est = FrameTracker(calib).track(seed, [])
     np.testing.assert_allclose(est.t, seed.t)
+
+
+def _structured_outlier_problem(frac=0.35, n=80, seed=13):
+    """True pose + matches where `frac` are coherent MISmatches: the
+    measurement belongs to a different landmark (the failure mode LightGlue
+    produces at keyframe gaps — not gross noise, a consistent wrong
+    geometry that Huber alone cannot reject)."""
+    rng = np.random.default_rng(seed)
+    calib = make_calib()
+    true_pose = Pose3.expmap(np.array([0.01, 0.02, -0.01, 0.3, -0.05, 0.1]))
+    Xw = true_pose.transform_from(
+        rng.uniform([-4, -3, 4], [4, 3, 25], size=(n, 3))
+    )
+    meas = np.stack([stereo_project(true_pose, calib, x) for x in Xw])
+    n_bad = int(frac * n)
+    bad = rng.choice(n, n_bad, replace=False)
+    # Each bad row measures a DIFFERENT landmark's projection.
+    src = (bad + n // 2) % n
+    meas[bad] = meas[src]
+    return calib, true_pose, Xw, meas
+
+
+def test_track_gated_survives_structured_outliers():
+    """35% coherent mismatches: the plain Huber LM lands far from the true
+    pose; the prior-gated solve (track_gated) recovers it to millimetres.
+    This is the measured rendered-world failure the gate exists for."""
+    calib, true_pose, Xw, meas = _structured_outlier_problem()
+    tracker = FrameTracker(calib)
+    pred = Pose3()  # cold prediction, ~0.3 m from truth
+
+    plain = tracker.track_arrays(pred, Xw, meas)
+    gated, keep = tracker.track_gated(pred, Xw, meas)
+
+    e_plain = np.linalg.norm(plain.t - true_pose.t)
+    e_gated = np.linalg.norm(gated.t - true_pose.t)
+    assert e_gated < 5e-3, e_gated
+    assert e_gated < 0.2 * max(e_plain, 1e-9), (e_plain, e_gated)
+    # The kept set excludes every mismatch (their reprojection at the true
+    # pose is tens of px off).
+    r_true = np.linalg.norm(
+        np.stack([stereo_project(true_pose, calib, x) for x in Xw]) - meas,
+        axis=1,
+    )
+    assert not keep[r_true > 5.0].any()
+
+
+def test_track_gated_falls_back_when_gate_starves():
+    """A prediction so wrong the gate would keep nothing must fall back to
+    the full set (never solve on < min_keep matches)."""
+    calib, true_pose, Xw, meas = _structured_outlier_problem(frac=0.0)
+    tracker = FrameTracker(calib)
+    far = Pose3(t=np.array([50.0, 0.0, 0.0]))  # every residual >> gate_px
+    pose, keep = tracker.track_gated(far, Xw, meas, gate_px=10.0)
+    assert keep.sum() >= 10
+    assert np.isfinite(pose.t).all()
+
+
+def test_track_gated_clean_data_matches_plain():
+    """With zero outliers and a good prediction the gate must be a no-op:
+    same optimum as the plain solve."""
+    calib, true_pose, Xw, meas = _structured_outlier_problem(frac=0.0)
+    tracker = FrameTracker(calib)
+    pred = true_pose  # perfect prediction
+    plain = tracker.track_arrays(pred, Xw, meas)
+    gated, keep = tracker.track_gated(pred, Xw, meas)
+    assert keep.all()
+    np.testing.assert_allclose(gated.t, plain.t, atol=1e-8)
+    np.testing.assert_allclose(gated.R, plain.R, atol=1e-8)

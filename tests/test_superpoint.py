@@ -128,3 +128,103 @@ def test_parity_with_torch_reference_architecture(params):
         desc_t.detach().numpy().transpose(0, 2, 3, 1),
         atol=1e-5,
     )
+
+
+def test_subpixel_parabolic_refinement():
+    """select_keypoints with raw_scores must recover a sub-pixel peak placed
+    as an additive quadratic (exact for 1-D parabolic fits), clamp offsets to
+    +-0.5 px, and leave invalid rows untouched."""
+    H, W, D = 32, 32, 8
+    # Additive separable quadratic with its peak at (10.3, 11.75).
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    x_star, y_star = 10.3, 11.75
+    q = 1.0 - 0.02 * (xs - x_star) ** 2 - 0.03 * (ys - y_star) ** 2
+    raw = np.maximum(q, 0.0).astype(np.float32)
+
+    # NMS'd map: keep only the integer argmax, zero the rest (mirrors
+    # superpoint_dense's suppression).
+    nms = np.zeros_like(raw)
+    iy, ix = np.unravel_index(np.argmax(raw), raw.shape)
+    nms[iy, ix] = raw[iy, ix]
+
+    grid = np.random.default_rng(0).normal(size=(1, H // 8, W // 8, D))
+    grid /= np.linalg.norm(grid, axis=-1, keepdims=True)
+
+    kpts, scores, valid, desc = select_keypoints(
+        jnp.asarray(nms[None]),
+        jnp.asarray(grid, jnp.float32),
+        max_keypoints=4,
+        keypoint_threshold=0.01,
+        remove_borders=2,
+        raw_scores=jnp.asarray(raw[None]),
+    )
+    k = np.asarray(kpts[0])
+    v = np.asarray(valid[0])
+    assert v[0] and not v[1:].any()
+    # Parabolic fit is exact on a quadratic.
+    np.testing.assert_allclose(k[0, 0], x_star, atol=1e-3)
+    np.testing.assert_allclose(k[0, 1], y_star, atol=1e-3)
+    # Invalid rows keep integer coords (offset zeroed by the valid mask).
+    assert (k[1:] == np.round(k[1:])).all()
+
+
+def test_subpixel_offsets_clamped():
+    """A maximally skewed neighborhood must never move a keypoint by more
+    than half a pixel."""
+    H, W, D = 16, 16, 8
+    raw = np.zeros((H, W), np.float32)
+    # Peak at (8, 8) with an extreme one-sided neighbor: the unclamped
+    # parabola vertex would fall outside +-0.5.
+    raw[8, 8] = 1.0
+    raw[8, 7] = 0.999999
+    raw[8, 9] = 0.0
+    nms = np.zeros_like(raw)
+    nms[8, 8] = 1.0
+    grid = np.ones((1, 2, 2, D), np.float32) / np.sqrt(D)
+    kpts, _, valid, _ = select_keypoints(
+        jnp.asarray(nms[None]),
+        jnp.asarray(grid),
+        max_keypoints=2,
+        keypoint_threshold=0.5,
+        remove_borders=2,
+        raw_scores=jnp.asarray(raw[None]),
+    )
+    assert np.asarray(valid[0])[0]
+    assert abs(float(kpts[0, 0, 0]) - 8.0) <= 0.5 + 1e-6
+    assert abs(float(kpts[0, 0, 1]) - 8.0) <= 1e-6  # symmetric in y
+
+
+def test_packed_readback_subpixel_roundtrip():
+    """Fractional keypoints and disparities must survive the int16 fixed-
+    point packed readback to within half a quantum (1/32 px)."""
+    from superslam_tpu.frontend.features import PaddedFeatures
+    from superslam_tpu.frontend.fused import decode_packed
+    from superslam_tpu.ops.frontend_step import PACK_SCALE, _pack
+
+    rng = np.random.default_rng(3)
+    K = 16
+    kl = rng.uniform(4, 120, (1, K, 2)).astype(np.float32)
+    vl = np.zeros((1, K), bool)
+    vl[0, :10] = True
+    disparity = rng.uniform(1, 40, (1, K)).astype(np.float32)
+    stereo_ok = vl & (np.arange(K)[None] % 2 == 0)
+    track_m = np.where(vl, np.arange(K)[None] % 5, -1).astype(np.int32)
+
+    packed = np.asarray(
+        _pack(
+            jnp.asarray(kl), jnp.asarray(vl), jnp.asarray(disparity),
+            jnp.asarray(stereo_ok), jnp.asarray(track_m),
+        )
+    )
+    feats = PaddedFeatures(kpts=None, desc=None, n=0, width=128, height=128)
+    frame, matches = decode_packed(packed, 0.0, feats)
+    assert len(frame) == 10
+    np.testing.assert_allclose(
+        frame.keypoints_left, kl[0, :10], atol=0.5 / PACK_SCALE + 1e-6
+    )
+    d = frame.has_depth
+    np.testing.assert_array_equal(d, stereo_ok[0, :10])
+    got_disp = frame.stereo[d, 0] - frame.stereo[d, 1]
+    np.testing.assert_allclose(
+        got_disp, disparity[0, :10][d], atol=1.0 / PACK_SCALE + 1e-6
+    )

@@ -37,12 +37,12 @@ def scan_args(frames_meas, track_ms):
     return jnp.asarray(kl), jnp.asarray(disp), jnp.asarray(ok), jnp.asarray(tm)
 
 
-def run_scan(kl, disp, ok, tm, xw, depth_ok, carry, min_matches=10):
+def run_scan(kl, disp, ok, tm, xw, depth_ok, carry, min_matches=10, **gate_kw):
     return track_scan(
         kl, disp, ok, tm, jnp.asarray(xw, jnp.float32), jnp.asarray(depth_ok),
         carry,
         calib=CALT, min_matches=min_matches, track_sigma_px=10.0,
-        disp_sigma0=8.0, disp_cond=CAL.bf / 40.0,
+        disp_sigma0=8.0, disp_cond=CAL.bf / 40.0, **gate_kw,
     )
 
 
@@ -91,14 +91,18 @@ def test_track_scan_recovers_chained_poses():
 
 def test_track_scan_matches_host_tracker_with_noise():
     """With pixel noise the device solve must agree with FrameTracker (the
-    f64 oracle) run with the same prior chain, not just with ground truth."""
+    f64 oracle) run with the same prior chain, not just with ground truth.
+    Gating disabled on both sides: this pins the core LM."""
     rng = np.random.default_rng(4)
     Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
     true = Pose3.expmap(np.array([0.0, 0.02, 0.0, 0.2, -0.05, 0.03]))
     meas = project(true, Xw) + rng.normal(0, 0.5, (K, 3))
     tm = np.arange(K)  # identity correspondence
     kl, disp, ok, tmj = scan_args([meas], [tm])
-    out, _ = run_scan(kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry())
+    out, _ = run_scan(
+        kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry(),
+        gate_px=0.0, chi2_rounds=0,
+    )
     got = rows_to_pose(np.asarray(out)[0])
 
     import os
@@ -110,6 +114,70 @@ def test_track_scan_matches_host_tracker_with_noise():
         del os.environ["SUPERSLAM_NATIVE"]
     err = ref.between(got).logmap()
     assert np.linalg.norm(err) < 2e-3, err
+
+
+def test_track_scan_gated_matches_host_track_gated():
+    """The device prior-gate + chi2 re-rounds must agree with the numpy
+    oracle recipe (FrameTracker.track_gated) on data with both noise and
+    structured mismatches — same kept-set decisions, same optimum."""
+    rng = np.random.default_rng(9)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    true = Pose3.expmap(np.array([0.0, 0.02, 0.0, 0.2, -0.05, 0.03]))
+    meas = project(true, Xw) + rng.normal(0, 0.3, (K, 3))
+    bad = rng.choice(K, K // 4, replace=False)
+    meas[bad] = meas[(bad + K // 2) % K]  # coherent mismatches
+    kl, disp, ok, tmj = scan_args([meas], [np.arange(K)])
+    out, _ = run_scan(
+        kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry(),
+        gate_px=10.0, chi2_px=2.0, chi2_rounds=2,
+    )
+    got = rows_to_pose(np.asarray(out)[0])
+
+    import os
+
+    os.environ["SUPERSLAM_NATIVE"] = "0"  # numpy oracle
+    try:
+        ref, _keep = FrameTracker(CAL).track_gated(
+            Pose3(), Xw, meas, gate_px=10.0, chi2_px=2.0, chi2_rounds=2,
+            min_keep=10,
+        )
+    finally:
+        del os.environ["SUPERSLAM_NATIVE"]
+    err = ref.between(got).logmap()
+    assert np.linalg.norm(err) < 2e-3, err
+    # And both must actually be near the true pose — the gate is the only
+    # thing standing between 25% mismatches and a diverged solve.
+    assert np.linalg.norm(true.between(got).logmap()) < 2e-2
+
+
+def test_track_scan_gate_rejects_structured_outliers():
+    """The measured rendered-world failure: with ~35% coherent mismatches
+    the ungated device solve lands far off; the default gated solve stays
+    at the true pose."""
+    rng = np.random.default_rng(10)
+    Xw = rng.uniform([-4, -3, 6], [4, 3, 18], (K, 3))
+    true = Pose3.expmap(np.array([0.01, 0.02, 0.0, 0.3, -0.05, 0.05]))
+    meas = project(true, Xw)
+    bad = rng.choice(K, int(0.35 * K), replace=False)
+    meas[bad] = meas[(bad + K // 2) % K]
+    kl, disp, ok, tmj = scan_args([meas], [np.arange(K)])
+
+    out_g, _ = run_scan(
+        kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry(),
+        gate_px=10.0, chi2_px=2.0, chi2_rounds=2,
+    )
+    out_u, _ = run_scan(
+        kl, disp, ok, tmj, Xw, np.ones(K, bool), identity_carry(),
+        gate_px=0.0, chi2_rounds=0,
+    )
+    e_gated = np.linalg.norm(
+        true.between(rows_to_pose(np.asarray(out_g)[0])).logmap()
+    )
+    e_plain = np.linalg.norm(
+        true.between(rows_to_pose(np.asarray(out_u)[0])).logmap()
+    )
+    assert e_gated < 5e-3, e_gated
+    assert e_gated < 0.2 * max(e_plain, 1e-9), (e_plain, e_gated)
 
 
 def test_track_scan_long_run_carry_stability():
