@@ -8,11 +8,22 @@ Together with the synthetic-shapes-trained weights (scripts/
 train_superpoint.py, scripts/train_lightglue_synth.py) this closes the
 accuracy loop offline: generate -> examples/kitti.py -> evaluate_kitti.py.
 
+With ``--format tum`` it instead writes a TUM RGB-D layout (rgb/, depth/
+16-bit PNGs, rgb.txt, depth.txt, groundtruth.txt) with exact rendered
+depth, closing the RGB-D accuracy loop through examples/tum_rgbd.py and
+scripts/evaluate_tum.py the same way.
+
 Usage:
   python scripts/make_synthetic_sequence.py /tmp/synth_seq --frames 150
   python examples/kitti.py /tmp/synth_seq/config.yaml /tmp/synth_seq \
       --no-viewer --out /tmp/synth_est.txt
   python scripts/evaluate_kitti.py /tmp/synth_est.txt /tmp/synth_seq/poses_gt.txt
+
+  python scripts/make_synthetic_sequence.py /tmp/synth_rgbd --format tum
+  python examples/tum_rgbd.py /tmp/synth_rgbd/config.yaml /tmp/synth_rgbd \
+      --no-viewer --out /tmp/synth_rgbd_est.txt
+  python scripts/evaluate_tum.py /tmp/synth_rgbd_est.txt \
+      /tmp/synth_rgbd/groundtruth.txt
 """
 
 from __future__ import annotations
@@ -59,6 +70,13 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=352)
     ap.add_argument("--trajectory", choices=("circuit", "straight"), default="circuit")
+    ap.add_argument(
+        "--format",
+        choices=("kitti", "tum"),
+        default="kitti",
+        help="kitti = stereo odometry layout; tum = RGB-D layout with "
+        "exact rendered depth maps",
+    )
     ap.add_argument("--sprites", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fx", type=float, default=320.0)
@@ -79,6 +97,7 @@ def main() -> None:
         make_room_world,
         straight_trajectory,
         write_kitti_sequence,
+        write_tum_sequence,
     )
     from superslam_tpu.geometry import StereoCalib
 
@@ -96,17 +115,35 @@ def main() -> None:
     else:
         poses = straight_trajectory(args.frames)
 
-    print(f"rendering {args.frames} stereo pairs at {args.width}x{args.height} ...")
-    write_kitti_sequence(
-        args.out_dir,
-        world,
-        poses,
-        calib,
-        args.height,
-        args.width,
-        seed=args.seed + 1,
-        progress=True,
-    )
+    if args.format == "tum":
+        print(
+            f"rendering {args.frames} rgb+depth frames at "
+            f"{args.width}x{args.height} ..."
+        )
+        write_tum_sequence(
+            args.out_dir,
+            world,
+            poses,
+            calib,
+            args.height,
+            args.width,
+            seed=args.seed + 1,
+            progress=True,
+        )
+    else:
+        print(
+            f"rendering {args.frames} stereo pairs at {args.width}x{args.height} ..."
+        )
+        write_kitti_sequence(
+            args.out_dir,
+            world,
+            poses,
+            calib,
+            args.height,
+            args.width,
+            seed=args.seed + 1,
+            progress=True,
+        )
     cfg = CONFIG_TMPL.format(
         fx=args.fx,
         fy=args.fx,
@@ -120,9 +157,22 @@ def main() -> None:
         lg_weights=args.lg_weights,
         max_kp=args.max_keypoints,
     )
+    if args.format == "tum":
+        # DepthMapFactor switches the facade into RGB-D mode; depth PNGs are
+        # written as uint16 Z * 5000 (write_tum_sequence).
+        cfg += "DepthMapFactor: 5000.0\n"
     with open(os.path.join(args.out_dir, "config.yaml"), "w") as f:
         f.write(cfg)
-    print(f"wrote {args.out_dir} (images, times.txt, poses_gt.txt, config.yaml)")
+    if args.format == "tum":
+        print(
+            f"wrote {args.out_dir} (rgb/, depth/, rgb.txt, depth.txt, "
+            "groundtruth.txt, config.yaml)"
+        )
+    else:
+        print(
+            f"wrote {args.out_dir} (images, times.txt, poses_gt.txt, "
+            "config.yaml)"
+        )
 
 
 if __name__ == "__main__":

@@ -215,6 +215,7 @@ def render_view(
     rng: np.random.Generator | None = None,
     return_ids: bool = False,
     return_corners: bool = False,
+    return_depth: bool = False,
 ):
     """Render one camera view (grayscale f32 in [0, 1]).
 
@@ -223,8 +224,13 @@ def render_view(
     harvesting (scripts/train_lightglue_synth.py). With ``return_corners``
     also returns the visible projected sprite corners ((N, 2) f32 (x, y)
     image pixels) — exact detector supervision on the render domain
-    (train/render_domain.py). Each sprite's warp is rasterized only over
-    its projected bounding box, not the full canvas."""
+    (train/render_domain.py). With ``return_depth`` also returns an (h, w)
+    f32 metric Z-depth map (0 = background/no data — the TUM sensor
+    convention) from exact ray/sprite-plane intersection, occlusion
+    resolved by the same painter order as the intensity image — the RGB-D
+    ground-truth leg (write_tum_sequence). Each sprite's warp is
+    rasterized only over its projected bounding box, not the full
+    canvas."""
     import cv2
 
     K = np.array(
@@ -240,6 +246,7 @@ def render_view(
 
     want_ids = return_ids or return_corners
     ids = np.full((h, w), -1, np.int32) if want_ids else None
+    depth = np.zeros((h, w), np.float32) if return_depth else None
     corner_uv: list[np.ndarray] = []
     corner_sprite: list[np.ndarray] = []
     # Depth-sort far to near (painter's algorithm).
@@ -289,6 +296,19 @@ def render_view(
         sub[mask] = patch[mask]
         if ids is not None:
             ids[y0:y1, x0:x1][mask] = i
+        if depth is not None:
+            # Exact ray/plane intersection: the sprite plane passes through
+            # m3 (center, camera frame) spanned by M's columns; a pixel ray
+            # d = ((x-cx)/fx, (y-cy)/fy, 1) hits it at Z = n.m3 / n.d.
+            n = np.cross(M[:, 0], M[:, 1])
+            gy, gx = np.mgrid[y0:y1, x0:x1]
+            dx = (gx - calib.cx) / calib.fx
+            dy = (gy - calib.cy) / calib.fy
+            nd = n[0] * dx + n[1] * dy + n[2]
+            zpx = (n @ m3) / np.where(np.abs(nd) > 1e-12, nd, 1e-12)
+            dsub = depth[y0:y1, x0:x1]
+            ok_z = mask & (zpx > 0.0)
+            dsub[ok_z] = zpx[ok_z].astype(np.float32)
         if return_corners:
             cs = world.tex_corners[i]
             p = np.concatenate([cs, np.ones((len(cs), 1), np.float64)], 1) @ Hm.T
@@ -324,6 +344,8 @@ def render_view(
         out.append(ids)
     if return_corners:
         out.append(corners_out)
+    if return_depth:
+        out.append(depth)
     return out[0] if len(out) == 1 else tuple(out)
 
 
@@ -382,3 +404,62 @@ def write_kitti_sequence(
         f.write("\n".join(times) + "\n")
     with open(os.path.join(out_dir, "poses_gt.txt"), "w") as f:
         f.write("\n".join(gt_rows) + "\n")
+
+
+def write_tum_sequence(
+    out_dir: str,
+    world: SpriteWorld,
+    poses: list[Pose3],
+    calib: StereoCalib,
+    h: int,
+    w: int,
+    fps: float = 30.0,
+    seed: int = 0,
+    depth_factor: float = 5000.0,
+    progress: bool = False,
+) -> None:
+    """Write TUM RGB-D layout: rgb/, depth/ (uint16 = Z * depth_factor, the
+    fr-sequence 5000 convention), rgb.txt, depth.txt, groundtruth.txt
+    (``t tx ty tz qx qy qz qw``) — everything examples/tum_rgbd.py's
+    associate() and scripts/evaluate_tum.py consume. The depth image is the
+    exact per-pixel ray/plane Z (render_view return_depth), so the RGB-D
+    accuracy loop closes offline with zero sensor noise beyond the
+    renderer's own quantization."""
+    import os
+
+    import cv2
+
+    from ..io.trajectory import rotation_to_quaternion
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rgb_rows, depth_rows, gt_rows = [], [], []
+    for i, p in enumerate(poses):
+        img, depth = render_view(world, p, calib, h, w, rng, return_depth=True)
+        t = i / fps
+        rgb_name = f"rgb/{t:.6f}.png"
+        depth_name = f"depth/{t:.6f}.png"
+        cv2.imwrite(
+            os.path.join(out_dir, rgb_name),
+            np.round(img * 255).astype(np.uint8),
+        )
+        d16 = np.clip(depth * depth_factor, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, depth_name), d16)
+        rgb_rows.append(f"{t:.6f} {rgb_name}")
+        depth_rows.append(f"{t:.6f} {depth_name}")
+        q = rotation_to_quaternion(p.R)
+        gt_rows.append(
+            f"{t:.6f} " + " ".join(f"{v:.9f}" for v in p.t) + " "
+            + " ".join(f"{v:.9f}" for v in q)
+        )
+        if progress and (i + 1) % 25 == 0:
+            print(f"  rendered {i + 1}/{len(poses)}", flush=True)
+    for name, rows in (
+        ("rgb.txt", rgb_rows),
+        ("depth.txt", depth_rows),
+        ("groundtruth.txt", gt_rows),
+    ):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write("# synthetic sprite-world sequence\n")
+            f.write("\n".join(rows) + "\n")

@@ -182,3 +182,67 @@ def test_two_view_loss_has_hard_term():
     loss, aux = sp_loss(params, batch)
     assert np.isfinite(float(loss))
     assert float(aux["hard"]) > 0.0  # untrained: hardest negative wins
+
+
+def test_rendered_depth_is_exact_plane_intersection(world, calib):
+    """Every depth pixel must backproject onto its owning sprite's plane
+    (the depth map is analytic ray/plane intersection, not a z-buffer
+    approximation), and background pixels must be 0."""
+    pose = circuit_trajectory(8)[2]
+    img, ids, depth = render_view(
+        world, pose, calib, 120, 160, return_ids=True, return_depth=True
+    )
+    assert depth.shape == (120, 160)
+    on = ids >= 0
+    assert (depth[~on] == 0.0).all()
+    assert on.sum() > 500  # the room is sprite-dense
+    ys, xs = np.nonzero(on)
+    sel = np.random.default_rng(0).choice(len(ys), 400, replace=False)
+    ys, xs = ys[sel], xs[sel]
+    z = depth[ys, xs].astype(np.float64)
+    assert (z > 0.3).all()
+    pc = np.stack(
+        [(xs - calib.cx) / calib.fx * z, (ys - calib.cy) / calib.fy * z, z], 1
+    )
+    Xw = pose.transform_from(pc)
+    sid = ids[ys, xs]
+    n = np.cross(world.ax_u[sid], world.ax_v[sid])
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    plane_dist = np.abs(np.sum((Xw - world.centers[sid]) * n, axis=1))
+    # Rasterization assigns edge pixels to the nearest sprite; the plane
+    # distance of interior pixels is limited only by float math.
+    assert np.quantile(plane_dist, 0.9) < 2e-3, np.quantile(plane_dist, 0.9)
+
+
+def test_write_tum_sequence_roundtrip(tmp_path, world, calib):
+    """The TUM writer must produce files examples/tum_rgbd.py associates
+    and whose uint16 depth decodes back to the rendered Z."""
+    import cv2
+
+    from superslam_tpu.eval.synthetic_sequence import write_tum_sequence
+    from superslam_tpu.io.trajectory import load_trajectory_tum
+
+    poses = circuit_trajectory(3)
+    write_tum_sequence(str(tmp_path), world, poses, calib, 48, 64, seed=5)
+    for name in ("rgb.txt", "depth.txt", "groundtruth.txt"):
+        assert (tmp_path / name).exists()
+    rows = [
+        l.split() for l in (tmp_path / "depth.txt").read_text().splitlines()
+        if not l.startswith("#")
+    ]
+    assert len(rows) == 3
+    d16 = cv2.imread(str(tmp_path / rows[1][1]), cv2.IMREAD_UNCHANGED)
+    assert d16.dtype == np.uint16
+    img, depth = render_view(
+        world, poses[1], calib, 48, 64, np.random.default_rng(0),
+        return_depth=True,
+    )
+    got = d16.astype(np.float64) / 5000.0
+    on = depth > 0
+    np.testing.assert_allclose(got[on], depth[on], atol=1.5 / 5000.0)
+    # Ground truth parses back to the input poses.
+    ts, gt = load_trajectory_tum(str(tmp_path / "groundtruth.txt"))
+    assert len(gt) == 3
+    for p, q in zip(poses, gt):
+        np.testing.assert_allclose(q.t, p.t, atol=1e-6)
+        np.testing.assert_allclose(q.R, p.R, atol=1e-6)
