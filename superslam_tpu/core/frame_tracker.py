@@ -50,6 +50,31 @@ class FrameTracker:
         meas = np.stack([m.meas for m in matches])
         return self.track_arrays(initial_guess, Xw, meas)
 
+    def _reproj_residuals(
+        self, pose: Pose3, Xw: np.ndarray, meas: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(uL, v) reprojection distance at `pose` plus a Z>0.1 cheirality
+        mask — the gating/support metric shared by track_gated and
+        reproj_support."""
+        p = pose.transform_to(Xw)
+        z = p[:, 2]
+        zok = z > 0.1
+        zs = np.where(zok, z, 1.0)
+        uL = self.calib.fx * p[:, 0] / zs + self.calib.cx
+        v = self.calib.fy * p[:, 1] / zs + self.calib.cy
+        return np.hypot(uL - meas[:, 0], v - meas[:, 2]), zok
+
+    def reproj_support(
+        self, pose: Pose3, Xw: np.ndarray, meas: np.ndarray, px: float
+    ) -> int:
+        """How many of ALL matches `pose` explains: count with positive
+        depth and (uL, v) reprojection error under `px`. The acceptance
+        signal the estimator uses to distinguish a genuinely-recovered
+        solve from a garbage step (a wrong pose explains only its own
+        outlier subset; see VoEstimator coast guard)."""
+        r, zok = self._reproj_residuals(pose, Xw, meas)
+        return int((zok & (r < px)).sum())
+
     def track_gated(
         self,
         predicted: Pose3,
@@ -61,6 +86,7 @@ class FrameTracker:
         chi2_rounds: int = 2,
         min_keep: int = 10,
         init: Pose3 | None = None,
+        rescue_frac: float = 0.5,
     ) -> tuple[Pose3, np.ndarray]:
         """Prior-gated robust solve: reject matches against the PREDICTED
         pose before the LM ever sees them, then re-solve on shrinking chi2
@@ -76,14 +102,32 @@ class FrameTracker:
         optimization; the reference relies on GTSAM Huber alone
         (``/root/reference/src/FrameTracker.cc:16-31``).
 
-        Recipe (mirrored exactly by the on-device ``track_scan`` gate):
+        Recipe (steps 1-4 mirrored by the on-device ``track_scan`` gate;
+        steps 2b and 5 are host-side recovery — the device chain cannot
+        latch the way the host estimator's coast guard can, see below):
           1. project all world points at `predicted`; keep matches whose
              (uL, v) reprojection distance is under `gate_px` and Z > 0.1;
-          2. if fewer than `min_keep` survive, fall back to the full set;
+          2. if fewer than `min_keep` survive, retry at 2x then 4x the
+             gate before falling back to the full set — a mildly-wrong
+             prediction (sharp turn, post-coast) starves the tight gate
+             while a widened one still excludes the gross structured
+             outliers (measured: the full-set fallback is what poisoned
+             the velocity carry into a permanent coast spiral on the
+             rendered circuit, frame 94: one 1.1 m step at 0.2 m/frame
+             true motion);
           3. LM from `init` (default `predicted`) on the kept set;
           4. `chi2_rounds` times: re-project at the current estimate, keep
              residuals under `chi2_px` (stop if fewer than `min_keep`),
-             re-solve from the current estimate.
+             re-solve from the current estimate;
+          5. rescue: if the result explains under `rescue_frac` of ALL
+             matches (support at 2*chi2_px), re-solve from `init` on the
+             full set AND on the complement of the kept set (same chi2
+             rounds each) and keep whichever pose has the most full-set
+             support — when the prediction itself is bad, the gate keeps
+             a subset consistent with the bad prediction and the solve
+             self-confirms; the rejected rows then hold the true
+             consensus, and the full-set Huber can stall in the kept
+             minority's zero-residual minimum, so both are tried.
 
         `init` exists because gating at the prediction and INITIALIZING at
         the prediction are different decisions: the estimator gates at the
@@ -103,28 +147,61 @@ class FrameTracker:
             return predicted, np.zeros(0, bool)
 
         def resid(pose: Pose3) -> tuple[np.ndarray, np.ndarray]:
-            p = pose.transform_to(Xw)
-            z = p[:, 2]
-            zok = z > 0.1
-            zs = np.where(zok, z, 1.0)
-            uL = self.calib.fx * p[:, 0] / zs + self.calib.cx
-            v = self.calib.fy * p[:, 1] / zs + self.calib.cy
-            return np.hypot(uL - meas[:, 0], v - meas[:, 2]), zok
+            return self._reproj_residuals(pose, Xw, meas)
+
+        def chi2_refine(pose: Pose3, keep: np.ndarray) -> tuple[Pose3, np.ndarray]:
+            for _ in range(chi2_rounds):
+                r, zok = resid(pose)
+                k2 = zok & (r < chi2_px)
+                if k2.sum() < min_keep:
+                    break
+                keep = k2
+                pose = self.track_arrays(pose, Xw[keep], meas[keep])
+            return pose, keep
 
         keep = np.ones(n_in, bool)
+        starved_seed = None
         if gate_px > 0:
             r0, zok = resid(predicted)
-            k0 = zok & (r0 < gate_px)
-            if k0.sum() >= min_keep:
-                keep = k0
+            for g in (gate_px, 2.0 * gate_px, 4.0 * gate_px):
+                k0 = zok & (r0 < g)
+                if k0.sum() >= min_keep:
+                    keep = k0
+                    break
+            else:
+                # Full-set fallback. Remember the widest-gate rows anyway:
+                # a handful of prediction-consistent matches can seed a
+                # rescue solve that the chi2 rounds then re-expand against
+                # the full set (k2 is evaluated over ALL rows).
+                wide = zok & (r0 < 4.0 * gate_px)
+                if wide.sum() >= 4:
+                    starved_seed = wide
         pose = self.track_arrays(init, Xw[keep], meas[keep])
-        for _ in range(chi2_rounds):
-            r, zok = resid(pose)
-            k2 = zok & (r < chi2_px)
-            if k2.sum() < min_keep:
-                break
-            keep = k2
-            pose = self.track_arrays(pose, Xw[keep], meas[keep])
+        pose, keep = chi2_refine(pose, keep)
+
+        if gate_px > 0 and rescue_frac > 0:
+            support_px = 2.0 * chi2_px
+            support = self.reproj_support(pose, Xw, meas, support_px)
+            if support < max(min_keep, rescue_frac * n_in):
+                # Candidate 1: ungated Huber on the full set. Candidate 2:
+                # the COMPLEMENT of the gated set — when the gate kept a
+                # minority coherent with a bad prediction, the rejected
+                # rows hold the true consensus, and solving on the full
+                # set can stall in the minority's zero-residual minimum.
+                # Candidate 3: the below-min_keep widest-gate seed from a
+                # starved gate (see above).
+                candidates = [np.ones(n_in, bool)]
+                comp = ~keep
+                if comp.sum() >= min_keep:
+                    candidates.append(comp)
+                if starved_seed is not None:
+                    candidates.append(starved_seed)
+                for seed in candidates:
+                    alt = self.track_arrays(init, Xw[seed], meas[seed])
+                    alt, alt_keep = chi2_refine(alt, seed)
+                    alt_support = self.reproj_support(alt, Xw, meas, support_px)
+                    if alt_support > support:
+                        pose, keep, support = alt, alt_keep, alt_support
         return pose, keep
 
     def track_arrays(

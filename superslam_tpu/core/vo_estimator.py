@@ -295,8 +295,9 @@ class VoEstimator:
                 # (ops.frontend_step.track_scan) applies the identical
                 # recipe. SUPERSLAM_TRACK_GATE=0 restores the plain solve.
                 pred = self._previous_frame_pose * self._previous_relative
+                n_kept = -1
                 if env_flag("SUPERSLAM_TRACK_GATE", True):
-                    frame_pose, _ = self.tracker.track_gated(
+                    frame_pose, _keep = self.tracker.track_gated(
                         pred,
                         Xw,
                         meas,
@@ -306,6 +307,7 @@ class VoEstimator:
                         min_keep=env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10),
                         init=self._previous_frame_pose,
                     )
+                    n_kept = int(_keep.sum())
                 else:
                     frame_pose = self.tracker.track_arrays(
                         self._previous_frame_pose, Xw, meas
@@ -313,25 +315,45 @@ class VoEstimator:
         else:
             frame_pose = self._previous_frame_pose
 
-        # Coast on constant velocity when the solve is unsupported — too few
-        # matches, or a pose wildly inconsistent with recent motion. The
-        # per-frame LM is unconstrained: from a bad basin (outlier-heavy
-        # matches, or a keyframe the smoother just nudged) it can return a
-        # tens-of-metres step that then poisons every later prediction
-        # (measured: one 23 m step at frame 46 spiralled a rendered-world run
-        # to km-scale ATE). A step this far from the constant-velocity
-        # prediction is never a real automotive/handheld motion; coasting is
-        # strictly safer. SUPERSLAM_TRACK_MAX_JUMP_M tunes (<=0 disables).
+        # Coast on constant velocity when the solve is unsupported. The
+        # acceptance criterion is SUPPORT — how many of ALL matches the
+        # solved pose explains by reprojection — not distance to the
+        # constant-velocity prediction. Both pure distance rules fail,
+        # measured on the rendered circuit:
+        #   * reject-far-solves latches: coasting never updates
+        #     _previous_relative, so one poisoned velocity makes every later
+        #     (correct) solve look like a jump and the coast runs away
+        #     forever (ATE 1.8 -> 11.9 m from one 1.1 m step at frame 94);
+        #   * accept-near-solves poisons: a gate-starved full-set solve that
+        #     explains 15 of 98 matches still landed within 2 m of the
+        #     prediction and its bad step entered the velocity carry.
+        # Support separates the cases directly: a garbage step explains ~0
+        # matches (the measured 23 m step from a bad basin supports none), a
+        # genuine recovery after coasting explains most. Healthy frames on
+        # the rendered circuit run 75-85%; SUPERSLAM_TRACK_ACCEPT_FRAC
+        # (default 0.4, <=0 disables) is the floor. A legitimately hard
+        # frame (occlusion, low texture) coasting one frame is standard VO
+        # behavior; what must never happen is a low-support pose entering
+        # the velocity carry or the keyframe map.
         min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
-        max_jump = env_float("SUPERSLAM_TRACK_MAX_JUMP_M", 2.0)
         coast = n_matches < min_matches
-        if not coast and max_jump > 0:
-            pred = self._previous_frame_pose * self._previous_relative
-            if (
-                not frame_pose.is_finite()
-                or np.linalg.norm(frame_pose.t - pred.t) > max_jump
-            ):
+        if not coast:
+            if not frame_pose.is_finite():
                 coast = True
+            else:
+                frac = env_float("SUPERSLAM_TRACK_ACCEPT_FRAC", 0.4)
+                if frac > 0:
+                    if device_pose is not None:
+                        # The device path skipped the host backprojection.
+                        Xw = kf.backproject_all(
+                            self.calib, np.asarray(kf_idx_list)
+                        )
+                        meas = frame.stereo[np.asarray(fr_idx_list)]
+                    support_px = 2.0 * env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
+                    support = self.tracker.reproj_support(
+                        frame_pose, Xw, meas, support_px
+                    )
+                    coast = support < max(min_matches, frac * n_matches)
         if coast:
             frame_pose = self._previous_frame_pose * self._previous_relative
         else:
@@ -339,19 +361,29 @@ class VoEstimator:
 
         if os.environ.get("SUPERSLAM_VO_DEBUG"):
             rel_kf = self._last_keyframe_pose.between(frame_pose)
+            kept = locals().get("n_kept", -1)
+            sup = -1
+            if "Xw" in locals() and n_matches > 0:
+                sup = self.tracker.reproj_support(frame_pose, Xw, meas, 4.0)
             print(
-                f"[trk] nmatch={n_matches} lastKf|t|="
-                f"{self._last_keyframe_pose.translation_norm():.2f} "
+                f"[trk] nmatch={n_matches} kept={kept} sup={sup} coast={int(coast)} "
+                f"lastKf|t|={self._last_keyframe_pose.translation_norm():.2f} "
                 f"res|t|={frame_pose.translation_norm():.2f} "
                 f"relKf|t|={rel_kf.translation_norm():.2f}",
                 file=sys.stderr,
             )
 
-        # Keyframe gate + insertion.
+        # Keyframe gate + insertion. NEVER insert from a coasted frame: the
+        # coast pose is a constant-velocity guess, and a keyframe built
+        # there backprojects its landmarks at a hallucinated pose —
+        # permanently poisoning the map (measured on the rendered circuit:
+        # keyframes inserted during a coast spiral left a map NO later pose
+        # could explain — support hit 0 on every frame — making recovery
+        # impossible even once the solver found the true pose again).
         self._frames_since_keyframe += 1
         covis = env_float("SUPERSLAM_KF_COVIS", self._covisibility_ratio)
         reference_features = len(kf_f2l)
-        if should_insert_keyframe(
+        if not coast and should_insert_keyframe(
             n_matches,
             reference_features,
             self._frames_since_keyframe,

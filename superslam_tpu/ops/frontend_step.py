@@ -363,7 +363,12 @@ def track_scan(
     Separated from the fused step so tests can drive it with synthetic
     geometry. Returns (track_out (S, TRACK_COLS) f32, new carry).
 
-    The solve is PRIOR-GATED, mirroring FrameTracker.track_gated exactly:
+    The solve is PRIOR-GATED, mirroring FrameTracker.track_gated steps 1-4
+    (the host recipe's widen-gate retry and low-support rescue are
+    host-side recovery paths: the device chain's carry re-anchors on every
+    accepted solve and cannot latch the way the host estimator's
+    prediction-distance coast guard could, so degenerate-frame recovery
+    lives with the estimator — see VoEstimator's support-based acceptance):
     matches are rejected against the constant-velocity predicted pose
     (reprojection distance > gate_px) before the LM — which still inits at
     the PREVIOUS pose; init-at-prediction feeds the solver's residual error

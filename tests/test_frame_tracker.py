@@ -114,3 +114,57 @@ def test_track_gated_clean_data_matches_plain():
     assert keep.all()
     np.testing.assert_allclose(gated.t, plain.t, atol=1e-8)
     np.testing.assert_allclose(gated.R, plain.R, atol=1e-8)
+
+
+def test_track_gated_rescue_beats_self_confirming_gate():
+    """The gate's own failure mode: when the PREDICTION is wrong and a
+    coherent minority of matches agrees with it (post-coast frames), the
+    gate keeps exactly that minority and the chi2 rounds self-confirm the
+    wrong pose. The rescue must notice the result explains few of the full
+    set and return the ungated majority solve instead (this latched a
+    rendered-circuit run into a permanent coast spiral, ATE 1.8 -> 11.9 m)."""
+    rng = np.random.default_rng(21)
+    calib = make_calib()
+    true_pose = Pose3(t=np.array([0.2, 0.0, 0.1]))
+    pred = Pose3(t=np.array([1.4, 0.0, 0.1]))  # poisoned velocity carry
+    Xw = true_pose.transform_from(
+        rng.uniform([-4, -3, 4], [4, 3, 25], size=(80, 3))
+    )
+    meas = np.stack([stereo_project(true_pose, calib, x) for x in Xw])
+    # 40% of rows agree with the WRONG prediction instead.
+    bad = rng.choice(80, 32, replace=False)
+    for i in bad:
+        meas[i] = stereo_project(pred, calib, Xw[i])
+
+    tracker = FrameTracker(calib)
+    pose, keep = tracker.track_gated(pred, Xw, meas, init=pred)
+    assert np.linalg.norm(pose.t - true_pose.t) < 5e-2, pose.t
+    # And the winning kept set is the true-majority one.
+    good = np.ones(80, bool)
+    good[bad] = False
+    assert keep[good].sum() > keep[~good].sum()
+
+
+def test_track_gated_rescue_keeps_gated_result_on_real_outliers():
+    """On the scenario the gate EXISTS for (good prediction, structured
+    outliers) the rescue must not undo it: the gated pose explains the
+    honest majority and wins the support comparison."""
+    calib, true_pose, Xw, meas = _structured_outlier_problem()
+    tracker = FrameTracker(calib)
+    gated, _ = tracker.track_gated(Pose3(), Xw, meas)
+    assert np.linalg.norm(gated.t - true_pose.t) < 5e-3
+
+
+def test_reproj_support_counts_explained_matches():
+    rng = np.random.default_rng(22)
+    calib = make_calib()
+    true_pose = Pose3(t=np.array([0.3, 0.1, 0.0]))
+    Xw = true_pose.transform_from(
+        rng.uniform([-4, -3, 4], [4, 3, 25], size=(50, 3))
+    )
+    meas = np.stack([stereo_project(true_pose, calib, x) for x in Xw])
+    meas[:10] += 100.0  # 10 unexplained rows
+    tracker = FrameTracker(calib)
+    assert tracker.reproj_support(true_pose, Xw, meas, 4.0) == 40
+    far = Pose3(t=np.array([30.0, 0.0, 0.0]))
+    assert tracker.reproj_support(far, Xw, meas, 4.0) < 5
