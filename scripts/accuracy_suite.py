@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Offline accuracy matrix over rendered ground-truth sequences.
+
+The zero-egress counterpart of the reference's dataset benchmarks
+(``/root/reference/scripts/benchmarks/_eval_common.py:38-111``): every leg
+renders a sprite-world sequence with exact ground truth
+(scripts/make_synthetic_sequence.py), runs the REAL end-to-end facade CLI
+(examples/kitti.py / examples/tum_rgbd.py) with the render-domain-trained
+SuperPoint weights, and evaluates ATE/RPE with the native metrics
+(scripts/evaluate_kitti.py / evaluate_tum.py). Writes one JSON object per
+leg plus the suite table to --out (default ACCURACY.json at the repo
+root — the committed accuracy artifact).
+
+Legs:
+  stereo          pipelined facade on the 150-frame circuit (full lap)
+  stereo_sync     SUPERSLAM_PIPELINE=0 — must track at least as well
+  stereo_nogate   SUPERSLAM_TRACK_GATE=0 ablation (documents the gate's
+                  measured value; see FrameTracker.track_gated)
+  stereo_loop     SUPERSLAM_ENABLE_LOOP=1 on the same lap (laps=1.06
+                  revisits the start)
+  rgbd            TUM-layout RGB-D rendering through examples/tum_rgbd.py
+
+Usage:
+  python scripts/accuracy_suite.py                  # all legs, ~30 min CPU
+  python scripts/accuracy_suite.py --legs stereo rgbd
+  python scripts/accuracy_suite.py --frames 80      # faster smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER_SHIM = """\
+import sys
+import jax
+jax.config.update("jax_platforms", "{platform}")
+sys.argv = ["runner"] + sys.argv[1:]
+import runpy
+runpy.run_path({runner!r}, run_name="__main__")
+"""
+
+
+def _run(cmd, env_extra=None, timeout=2400):
+    env = dict(os.environ)
+    env["SUPERSLAM_NO_LOG_FILE"] = "1"
+    if env_extra:
+        env.update(env_extra)
+    r = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"{' '.join(cmd)} failed ({r.returncode}):\n{r.stderr[-2000:]}"
+        )
+    return r.stdout
+
+
+def _shim(platform: str, runner: str) -> str:
+    fd, path = tempfile.mkstemp(suffix=".py", prefix="acc_shim_")
+    with os.fdopen(fd, "w") as f:
+        f.write(RUNNER_SHIM.format(platform=platform, runner=runner))
+    return path
+
+
+def _eval_json(stdout: str) -> dict:
+    return json.loads(stdout.strip().splitlines()[-1])
+
+
+def run_stereo_leg(seq_dir: str, name: str, env_extra: dict, platform: str) -> dict:
+    shim = _shim(platform, os.path.join(REPO, "examples", "kitti.py"))
+    est = os.path.join(seq_dir, f"est_{name}.txt")
+    t0 = time.time()
+    _run(
+        [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
+         "--no-viewer", "--out", est],
+        env_extra,
+    )
+    out = _run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate_kitti.py"),
+         est, os.path.join(seq_dir, "poses_gt.txt")]
+    )
+    m = _eval_json(out)
+    m["leg"] = name
+    m["wall_s"] = round(time.time() - t0, 1)
+    return m
+
+
+def run_rgbd_leg(seq_dir: str, name: str, env_extra: dict, platform: str) -> dict:
+    shim = _shim(platform, os.path.join(REPO, "examples", "tum_rgbd.py"))
+    est = os.path.join(seq_dir, f"est_{name}.txt")
+    t0 = time.time()
+    _run(
+        [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
+         "--no-viewer", "--out", est],
+        env_extra,
+    )
+    out = _run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate_tum.py"),
+         est, os.path.join(seq_dir, "groundtruth.txt")]
+    )
+    m = _eval_json(out)
+    m["leg"] = name
+    m["wall_s"] = round(time.time() - t0, 1)
+    return m
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY.json"))
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument(
+        "--platform", default="cpu",
+        help="jax platform for the facade runs (cpu keeps the suite "
+        "hermetic; tpu exercises the fused device pipeline)",
+    )
+    ap.add_argument(
+        "--legs", nargs="*",
+        default=["stereo", "stereo_sync", "stereo_nogate", "stereo_loop", "rgbd"],
+    )
+    args = ap.parse_args()
+
+    work = args.work_dir or tempfile.mkdtemp(prefix="accuracy_suite_")
+    os.makedirs(work, exist_ok=True)
+    stereo_seq = os.path.join(work, "stereo_seq")
+    rgbd_seq = os.path.join(work, "rgbd_seq")
+
+    need_stereo = any(leg.startswith("stereo") for leg in args.legs)
+    if need_stereo and not os.path.exists(os.path.join(stereo_seq, "poses_gt.txt")):
+        print(f"[suite] rendering stereo circuit ({args.frames} frames)...")
+        _run([sys.executable, os.path.join(REPO, "scripts", "make_synthetic_sequence.py"),
+              stereo_seq, "--frames", str(args.frames)])
+    if "rgbd" in args.legs and not os.path.exists(
+        os.path.join(rgbd_seq, "groundtruth.txt")
+    ):
+        print(f"[suite] rendering rgbd circuit ({args.frames} frames)...")
+        _run([sys.executable, os.path.join(REPO, "scripts", "make_synthetic_sequence.py"),
+              rgbd_seq, "--format", "tum", "--frames", str(args.frames)])
+
+    stereo_envs = {
+        "stereo": {},
+        "stereo_sync": {"SUPERSLAM_PIPELINE": "0"},
+        "stereo_nogate": {"SUPERSLAM_TRACK_GATE": "0"},
+        "stereo_loop": {"SUPERSLAM_ENABLE_LOOP": "1"},
+    }
+    results = []
+    for leg in args.legs:
+        print(f"[suite] running leg {leg}...")
+        try:
+            if leg == "rgbd":
+                m = run_rgbd_leg(rgbd_seq, leg, {}, args.platform)
+            else:
+                m = run_stereo_leg(stereo_seq, leg, stereo_envs[leg], args.platform)
+        except Exception as e:  # record the failure, keep the suite going
+            m = {"leg": leg, "error": str(e)[-500:]}
+        print(f"[suite] {json.dumps(m)}")
+        results.append(m)
+
+    suite = {
+        "suite": "rendered-world accuracy",
+        "frames": args.frames,
+        "platform": args.platform,
+        "weights": "render-domain trained (scripts/train_superpoint.py)",
+        "legs": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(suite, f, indent=2)
+        f.write("\n")
+    print(f"[suite] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -228,11 +228,13 @@ class VoEstimator:
         # Match current frame to the reference keyframe (query=KF, train=frame).
         kf = self._last_keyframe
         kf_f2l = self._last_kf_feature_to_landmark
+        match_src = "host"
         if kf_matches is not None and kf_ref_id is not None:
             if kf_ref_id == self._last_keyframe_id:
-                pass  # matches refer to the current keyframe
+                match_src = "dev-cur"  # matches refer to the current keyframe
             elif kf_ref_id in self._kf_store:
                 kf, kf_f2l = self._kf_store[kf_ref_id]
+                match_src = "dev-store"
             else:
                 # The keyframe these matches were computed against has been
                 # evicted (deep pipelines can lag several insertions) —
@@ -242,8 +244,24 @@ class VoEstimator:
                 # same evicted keyframe state).
                 kf_matches = None
                 device_pose = None
+                match_src = "rematch"
         if kf_matches is not None:
             m = kf_matches
+            if os.environ.get("SUPERSLAM_MATCH_XCHECK"):
+                mh = self.matcher.match(
+                    kf.keypoints_left,
+                    kf.descriptors_left,
+                    frame.keypoints_left,
+                    frame.descriptors_left,
+                )
+                dev_pairs = {tuple(r) for r in np.asarray(m.matches)}
+                host_pairs = {tuple(r) for r in np.asarray(mh.matches)}
+                inter = len(dev_pairs & host_pairs)
+                print(
+                    f"[xchk] dev={len(dev_pairs)} host={len(host_pairs)} "
+                    f"agree={inter}",
+                    file=sys.stderr,
+                )
         else:
             with profile_scope("vo_lg_track_match"):
                 m = self.matcher.match(
@@ -253,107 +271,159 @@ class VoEstimator:
                     frame.descriptors_left,
                 )
 
-        # Correspondences with depth on both ends; carry landmark ids.
-        frame_matched_landmark: dict[int, int] = {}
-        kf_idx_list: list[int] = []
-        fr_idx_list: list[int] = []
-        if len(m) > 0:
-            ki = m.matches[:, 0]
-            fi = m.matches[:, 1]
-            ok = (ki >= 0) & (fi >= 0) & (ki < len(kf)) & (fi < n)
-            ki, fi = ki[ok], fi[ok]
-            ok = kf.has_depth[ki] & frame.has_depth[fi]
-            ki, fi = ki[ok], fi[ok]
-            kf_idx_list = ki.tolist()
-            fr_idx_list = fi.tolist()
-            for kidx, fidx in zip(kf_idx_list, fr_idx_list):
-                lm = kf_f2l.get(kidx)
-                if lm is not None:
-                    frame_matched_landmark[fidx] = lm
-
-        n_matches = len(kf_idx_list)
-        self.last_inlier_ratio = n_matches / max(1, len(kf))
-        if n_matches > 0:
-            if device_pose is not None:
-                # Solved on device in the fused program against the same
-                # keyframe world points (see frontend.pipelined); the host
-                # LM would converge to the same optimum from its prior.
-                # The device program applies the same min_matches coast gate
-                # to ITS OWN usable-match count (stereo/depth gates evaluated
-                # on device), which can differ by a few from n_matches here
-                # right at the gate boundary; on such frames the adopted pose
-                # is the device's solve/coast decision — an intentional
-                # divergence (both paths coast below their gate either way).
-                frame_pose = device_pose
-            else:
-                Xw = kf.backproject_all(self.calib, np.asarray(kf_idx_list))
-                meas = frame.stereo[np.asarray(fr_idx_list)]
-                # Init at the constant-velocity prediction and gate matches
-                # against it before the LM (track_gated docstring): Huber
-                # alone diverges under the structured outlier fraction
-                # LightGlue produces at keyframe gaps. The device program
-                # (ops.frontend_step.track_scan) applies the identical
-                # recipe. SUPERSLAM_TRACK_GATE=0 restores the plain solve.
-                pred = self._previous_frame_pose * self._previous_relative
-                n_kept = -1
-                if env_flag("SUPERSLAM_TRACK_GATE", True):
-                    frame_pose, _keep = self.tracker.track_gated(
-                        pred,
-                        Xw,
-                        meas,
-                        gate_px=env_float("SUPERSLAM_TRACK_GATE_PX", 10.0),
-                        chi2_px=env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0),
-                        chi2_rounds=env_int("SUPERSLAM_TRACK_CHI2_ROUNDS", 2),
-                        min_keep=env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10),
-                        init=self._previous_frame_pose,
-                    )
-                    n_kept = int(_keep.sum())
-                else:
-                    frame_pose = self.tracker.track_arrays(
-                        self._previous_frame_pose, Xw, meas
-                    )
-        else:
-            frame_pose = self._previous_frame_pose
-
-        # Coast on constant velocity when the solve is unsupported. The
-        # acceptance criterion is SUPPORT — how many of ALL matches the
-        # solved pose explains by reprojection — not distance to the
-        # constant-velocity prediction. Both pure distance rules fail,
-        # measured on the rendered circuit:
-        #   * reject-far-solves latches: coasting never updates
-        #     _previous_relative, so one poisoned velocity makes every later
-        #     (correct) solve look like a jump and the coast runs away
-        #     forever (ATE 1.8 -> 11.9 m from one 1.1 m step at frame 94);
-        #   * accept-near-solves poisons: a gate-starved full-set solve that
-        #     explains 15 of 98 matches still landed within 2 m of the
-        #     prediction and its bad step entered the velocity carry.
-        # Support separates the cases directly: a garbage step explains ~0
-        # matches (the measured 23 m step from a bad basin supports none), a
-        # genuine recovery after coasting explains most. Healthy frames on
-        # the rendered circuit run 75-85%; SUPERSLAM_TRACK_ACCEPT_FRAC
-        # (default 0.4, <=0 disables) is the floor. A legitimately hard
-        # frame (occlusion, low texture) coasting one frame is standard VO
-        # behavior; what must never happen is a low-support pose entering
-        # the velocity carry or the keyframe map.
         min_matches = env_int("SUPERSLAM_TRACK_MIN_MATCHES", 10)
-        coast = n_matches < min_matches
-        if not coast:
-            if not frame_pose.is_finite():
-                coast = True
-            else:
-                frac = env_float("SUPERSLAM_TRACK_ACCEPT_FRAC", 0.4)
-                if frac > 0:
-                    if device_pose is not None:
-                        # The device path skipped the host backprojection.
-                        Xw = kf.backproject_all(
-                            self.calib, np.asarray(kf_idx_list)
+        accept_frac = env_float("SUPERSLAM_TRACK_ACCEPT_FRAC", 0.4)
+        support_px = 2.0 * env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
+
+        def _attempt(kf_a, f2l_a, m_a, device_pose_a):
+            """Build depth-valid correspondences from one match source,
+            solve, and judge the result by SUPPORT — how many of ALL the
+            matches the pose explains by reprojection. The acceptance
+            criterion is support, not distance to the constant-velocity
+            prediction: both pure distance rules fail, measured on the
+            rendered circuit:
+              * reject-far-solves latches: coasting never updates
+                _previous_relative, so one poisoned velocity makes every
+                later (correct) solve look like a jump and the coast runs
+                away forever (ATE 1.8 -> 11.9 m from one 1.1 m step);
+              * accept-near-solves poisons: a gate-starved full-set solve
+                that explained 15 of 98 matches still landed within 2 m of
+                the prediction and its bad step entered the velocity carry.
+            A garbage step explains ~0 matches (the measured 23 m step from
+            a bad basin supports none); a genuine recovery after coasting
+            explains most. Healthy frames run 75-85% support;
+            SUPERSLAM_TRACK_ACCEPT_FRAC (default 0.4, <=0 disables) is the
+            floor. A legitimately hard frame (occlusion, low texture)
+            coasting one frame is standard VO behavior; what must never
+            happen is a low-support pose entering the velocity carry or the
+            keyframe map."""
+            fml: dict[int, int] = {}
+            ki_l: list[int] = []
+            fi_l: list[int] = []
+            if len(m_a) > 0:
+                ki = m_a.matches[:, 0]
+                fi = m_a.matches[:, 1]
+                ok = (ki >= 0) & (fi >= 0) & (ki < len(kf_a)) & (fi < n)
+                ki, fi = ki[ok], fi[ok]
+                ok = kf_a.has_depth[ki] & frame.has_depth[fi]
+                ki, fi = ki[ok], fi[ok]
+                ki_l = ki.tolist()
+                fi_l = fi.tolist()
+                for kidx, fidx in zip(ki_l, fi_l):
+                    lm = f2l_a.get(kidx)
+                    if lm is not None:
+                        fml[fidx] = lm
+            n_m = len(ki_l)
+            Xw = meas = None
+            n_kept = -1
+            if n_m > 0:
+                Xw = kf_a.backproject_all(self.calib, np.asarray(ki_l))
+                meas = frame.stereo[np.asarray(fi_l)]
+                if device_pose_a is not None:
+                    # Solved on device in the fused program against the same
+                    # keyframe world points (see frontend.pipelined); the
+                    # host LM would converge to the same optimum from its
+                    # prior. The device program applies the same min_matches
+                    # coast gate to ITS OWN usable-match count (stereo/depth
+                    # gates evaluated on device), which can differ by a few
+                    # from n_m here right at the gate boundary; on such
+                    # frames the adopted pose is the device's solve/coast
+                    # decision — an intentional divergence (both paths coast
+                    # below their gate either way).
+                    pose_a = device_pose_a
+                else:
+                    # Init at the constant-velocity prediction and gate
+                    # matches against it before the LM (track_gated
+                    # docstring): Huber alone diverges under the structured
+                    # outlier fraction LightGlue produces at keyframe gaps.
+                    # The device program (ops.frontend_step.track_scan)
+                    # applies the identical recipe. SUPERSLAM_TRACK_GATE=0
+                    # restores the plain solve.
+                    pred = self._previous_frame_pose * self._previous_relative
+                    if env_flag("SUPERSLAM_TRACK_GATE", True):
+                        pose_a, _keep = self.tracker.track_gated(
+                            pred,
+                            Xw,
+                            meas,
+                            gate_px=env_float("SUPERSLAM_TRACK_GATE_PX", 10.0),
+                            chi2_px=env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0),
+                            chi2_rounds=env_int(
+                                "SUPERSLAM_TRACK_CHI2_ROUNDS", 2
+                            ),
+                            min_keep=min_matches,
+                            init=self._previous_frame_pose,
                         )
-                        meas = frame.stereo[np.asarray(fr_idx_list)]
-                    support_px = 2.0 * env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
-                    support = self.tracker.reproj_support(
-                        frame_pose, Xw, meas, support_px
+                        n_kept = int(_keep.sum())
+                    else:
+                        pose_a = self.tracker.track_arrays(
+                            self._previous_frame_pose, Xw, meas
+                        )
+            else:
+                pose_a = self._previous_frame_pose
+            coast_a = n_m < min_matches
+            support_a = -1
+            if not coast_a:
+                if not pose_a.is_finite():
+                    coast_a = True
+                elif accept_frac > 0:
+                    support_a = self.tracker.reproj_support(
+                        pose_a, Xw, meas, support_px
                     )
-                    coast = support < max(min_matches, frac * n_matches)
+                    coast_a = support_a < max(min_matches, accept_frac * n_m)
+            return {
+                "pose": pose_a,
+                "coast": coast_a,
+                "support": support_a,
+                "n": n_m,
+                "fml": fml,
+                "ki": ki_l,
+                "fi": fi_l,
+                "Xw": Xw,
+                "meas": meas,
+                "n_kept": n_kept,
+            }
+
+        res = _attempt(kf, kf_f2l, m, device_pose)
+        force_rematch = env_flag("SUPERSLAM_FORCE_REMATCH", False)
+        if (
+            (res["coast"] or force_rematch)
+            and kf is not self._last_keyframe
+            and n > 0
+        ):
+            # Lag-amplification rescue: the precomputed device matches refer
+            # to a keyframe up to depth*batch insertions old, and repetitive
+            # texture aliases the matcher harder the wider the baseline
+            # (measured on the rendered circuit: the same frame that gets
+            # 45% geometrically-consistent matches against a 4-frame-old
+            # keyframe gets healthy matches against the newest one — the
+            # sync path, which always matches the newest, never saw these
+            # frames). One host re-match against the newest keyframe on the
+            # rare failing frame keeps the pipeline's throughput and the
+            # sync path's robustness.
+            with profile_scope("vo_lg_track_match"):
+                m2 = self.matcher.match(
+                    self._last_keyframe.keypoints_left,
+                    self._last_keyframe.descriptors_left,
+                    frame.keypoints_left,
+                    frame.descriptors_left,
+                )
+            res2 = _attempt(
+                self._last_keyframe, self._last_kf_feature_to_landmark, m2, None
+            )
+            if not res2["coast"]:
+                res, m = res2, m2
+                kf = self._last_keyframe
+                kf_f2l = self._last_kf_feature_to_landmark
+                match_src = "rematch-cur"
+
+        n_matches = res["n"]
+        frame_matched_landmark = res["fml"]
+        kf_idx_list, fr_idx_list = res["ki"], res["fi"]
+        Xw, meas = res["Xw"], res["meas"]
+        n_kept = res["n_kept"]
+        frame_pose = res["pose"]
+        coast = res["coast"]
+        self.last_inlier_ratio = n_matches / max(1, len(kf))
         if coast:
             frame_pose = self._previous_frame_pose * self._previous_relative
         else:
@@ -361,12 +431,35 @@ class VoEstimator:
 
         if os.environ.get("SUPERSLAM_VO_DEBUG"):
             rel_kf = self._last_keyframe_pose.between(frame_pose)
-            kept = locals().get("n_kept", -1)
+            kept = n_kept
             sup = -1
-            if "Xw" in locals() and n_matches > 0:
+            if Xw is not None and n_matches > 0:
                 sup = self.tracker.reproj_support(frame_pose, Xw, meas, 4.0)
+            dump = os.environ.get("SUPERSLAM_DUMP_WEAK")
+            if dump and 0 <= sup < 0.3 * n_matches:
+                np.savez(
+                    f"{dump}_t{frame.timestamp:.3f}.npz",
+                    frame_kpts=frame.keypoints_left,
+                    frame_stereo=frame.stereo,
+                    frame_desc=self.matcher.descriptors_to_host(
+                        frame.descriptors_left
+                    ),
+                    kf_kpts=kf.keypoints_left,
+                    kf_stereo=kf.stereo,
+                    kf_desc=self.matcher.descriptors_to_host(
+                        kf.descriptors_left
+                    ),
+                    kf_pose=np.concatenate([kf.pose.R.ravel(), kf.pose.t]),
+                    matches=np.asarray(m.matches),
+                    kf_idx=np.asarray(kf_idx_list),
+                    fr_idx=np.asarray(fr_idx_list),
+                    solved=np.concatenate(
+                        [frame_pose.R.ravel(), frame_pose.t]
+                    ),
+                )
             print(
                 f"[trk] nmatch={n_matches} kept={kept} sup={sup} coast={int(coast)} "
+                f"src={match_src} ref={kf_ref_id} cur={self._last_keyframe_id} "
                 f"lastKf|t|={self._last_keyframe_pose.translation_norm():.2f} "
                 f"res|t|={frame_pose.translation_norm():.2f} "
                 f"relKf|t|={rel_kf.translation_norm():.2f}",
