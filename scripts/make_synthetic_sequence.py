@@ -83,7 +83,11 @@ def main() -> None:
     ap.add_argument("--baseline", type=float, default=0.3)
     ap.add_argument("--max-keypoints", type=int, default=512)
     ap.add_argument("--model-dir", default="weights/")
-    ap.add_argument("--sp-weights", default="superpoint_synth.safetensors")
+    # Default to the render-domain-trained checkpoint: the synthetic-shapes
+    # pretrain alone loses tracking on these rendered worlds (measured:
+    # ATE 4.5 m stationary-estimate failure vs 0.1-0.3 m with the
+    # render-trained weights on the same 150-frame circuit).
+    ap.add_argument("--sp-weights", default="superpoint_render.safetensors")
     ap.add_argument(
         "--lg-weights",
         default="__passthrough__",

@@ -384,7 +384,18 @@ class VoEstimator:
             }
 
         res = _attempt(kf, kf_f2l, m, device_pose)
-        force_rematch = env_flag("SUPERSLAM_FORCE_REMATCH", False)
+        # Lagged matches cost real accuracy even when they nominally succeed:
+        # the A/B on the rendered circuit measured pipelined ATE 0.296 m with
+        # lagged matches vs 0.103 m re-matching every lagged frame against
+        # the newest keyframe — byte-identical to the synchronous path, i.e.
+        # the keyframe lag explained the WHOLE pipelined accuracy gap. So
+        # host-solved tracking re-matches lagged frames by default
+        # (SUPERSLAM_FORCE_REMATCH=0 restores rescue-only, one matcher call
+        # saved per lagged frame). Device-solved tracking keeps rescue-only:
+        # its pose was solved in-program against the lagged keyframe, and
+        # the zero-lag fix there is in-program keyframe promotion, not a
+        # host re-match that would discard the device solve.
+        force_rematch = env_flag("SUPERSLAM_FORCE_REMATCH", device_pose is None)
         if (
             (res["coast"] or force_rematch)
             and kf is not self._last_keyframe
@@ -397,9 +408,7 @@ class VoEstimator:
             # 45% geometrically-consistent matches against a 4-frame-old
             # keyframe gets healthy matches against the newest one — the
             # sync path, which always matches the newest, never saw these
-            # frames). One host re-match against the newest keyframe on the
-            # rare failing frame keeps the pipeline's throughput and the
-            # sync path's robustness.
+            # frames).
             with profile_scope("vo_lg_track_match"):
                 m2 = self.matcher.match(
                     self._last_keyframe.keypoints_left,
