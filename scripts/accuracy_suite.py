@@ -14,6 +14,9 @@ root — the committed accuracy artifact).
 Legs:
   stereo          pipelined facade on the 150-frame circuit (full lap)
   stereo_sync     SUPERSLAM_PIPELINE=0 — must track at least as well
+  stereo_devkf    SUPERSLAM_DEVICE_TRACKER=1 — in-program solve + zero-lag
+                  keyframe promotion (ops.frontend_step.track_kf_scan);
+                  the TPU default path, semantics-identical on CPU
   stereo_nogate   SUPERSLAM_TRACK_GATE=0 ablation (documents the gate's
                   measured value; see FrameTracker.track_gated)
   stereo_loop     SUPERSLAM_ENABLE_LOOP=1 on the same lap (laps=1.06
@@ -124,7 +127,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--legs", nargs="*",
-        default=["stereo", "stereo_sync", "stereo_nogate", "stereo_loop", "rgbd"],
+        default=["stereo", "stereo_sync", "stereo_devkf", "stereo_nogate",
+                 "stereo_loop", "rgbd"],
     )
     args = ap.parse_args()
 
@@ -148,6 +152,7 @@ def main() -> None:
     stereo_envs = {
         "stereo": {},
         "stereo_sync": {"SUPERSLAM_PIPELINE": "0"},
+        "stereo_devkf": {"SUPERSLAM_DEVICE_TRACKER": "1"},
         "stereo_nogate": {"SUPERSLAM_TRACK_GATE": "0"},
         "stereo_loop": {"SUPERSLAM_ENABLE_LOOP": "1"},
     }

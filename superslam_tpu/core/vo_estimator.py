@@ -192,6 +192,8 @@ class VoEstimator:
         kf_ref_id: int | None = None,
         device_pose: Pose3 | None = None,
         descriptor_provider=None,
+        device_accept: bool | None = None,
+        device_promote: bool | None = None,
     ) -> Pose3:
         """Track one frame. `kf_matches` optionally carries precomputed
         frame-to-keyframe matches (the fused device pipeline computes them in
@@ -202,13 +204,20 @@ class VoEstimator:
         `device_pose` optionally carries the pose solved ON DEVICE in the
         same program (fused_stereo_track_step_multi); it replaces the host
         FrameTracker solve but every gate (coast, keyframe, smoothing) still
-        runs here. `descriptor_provider` lazily supplies the loop worker's
-        global descriptor (evaluated on the worker thread) in place of
+        runs here — UNLESS `device_accept`/`device_promote` are given
+        (zero-lag device keyframe mode, ops.frontend_step.track_kf_scan):
+        then the device already judged the solve by the same support rule
+        and ran the keyframe gate in-program, and the estimator ADOPTS both
+        decisions verbatim so host map bookkeeping stays in lockstep with
+        the device-carried keyframe (re-deciding here in f64 could disagree
+        at the gate boundary and desync the keyframe chain).
+        `descriptor_provider` lazily supplies the loop worker's global
+        descriptor (evaluated on the worker thread) in place of
         `left_gray`."""
         with profile_scope("vo_track_total"):
             return self._track(
                 frame, left_gray, kf_matches, kf_ref_id, device_pose,
-                descriptor_provider,
+                descriptor_provider, device_accept, device_promote,
             )
 
     def _track(
@@ -219,6 +228,8 @@ class VoEstimator:
         kf_ref_id: int | None = None,
         device_pose: Pose3 | None = None,
         descriptor_provider=None,
+        device_accept: bool | None = None,
+        device_promote: bool | None = None,
     ) -> Pose3:
         n = len(frame)
 
@@ -316,6 +327,24 @@ class VoEstimator:
             n_m = len(ki_l)
             Xw = meas = None
             n_kept = -1
+            if device_accept is not None and device_pose_a is not None:
+                # Zero-lag device keyframe mode: the device judged this solve
+                # by the identical support rule in-program (track_kf_scan);
+                # adopt its decision verbatim. On a rejected frame the device
+                # pose IS its constant-velocity coast, so adopting it keeps
+                # the host trajectory equal to the device chain.
+                return {
+                    "pose": device_pose_a,
+                    "coast": not device_accept,
+                    "support": -1,
+                    "n": n_m,
+                    "fml": fml,
+                    "ki": ki_l,
+                    "fi": fi_l,
+                    "Xw": None,
+                    "meas": None,
+                    "n_kept": -1,
+                }
             if n_m > 0:
                 Xw = kf_a.backproject_all(self.calib, np.asarray(ki_l))
                 meas = frame.stereo[np.asarray(fi_l)]
@@ -434,7 +463,10 @@ class VoEstimator:
         coast = res["coast"]
         self.last_inlier_ratio = n_matches / max(1, len(kf))
         if coast:
-            frame_pose = self._previous_frame_pose * self._previous_relative
+            if device_accept is None:
+                frame_pose = self._previous_frame_pose * self._previous_relative
+            # else: the adopted device pose already IS the device chain's
+            # constant-velocity coast (track_kf_scan) — keep it.
         else:
             self._previous_relative = self._previous_frame_pose.between(frame_pose)
 
@@ -485,13 +517,20 @@ class VoEstimator:
         self._frames_since_keyframe += 1
         covis = env_float("SUPERSLAM_KF_COVIS", self._covisibility_ratio)
         reference_features = len(kf_f2l)
-        if not coast and should_insert_keyframe(
-            n_matches,
-            reference_features,
-            self._frames_since_keyframe,
-            covis,
-            self._max_keyframe_frames,
-        ):
+        if device_promote is not None:
+            # Zero-lag device keyframe mode: the gate already ran in-program
+            # with these exact semantics; follow its bit so the host keyframe
+            # chain mirrors the device-carried keyframe one-for-one.
+            insert = device_promote and not coast
+        else:
+            insert = not coast and should_insert_keyframe(
+                n_matches,
+                reference_features,
+                self._frames_since_keyframe,
+                covis,
+                self._max_keyframe_frames,
+            )
+        if insert:
             frame_pose = self._insert_keyframe(
                 frame, frame_pose, frame_matched_landmark, left_gray,
                 descriptor_provider,

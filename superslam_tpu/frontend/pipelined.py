@@ -135,6 +135,7 @@ class _InFlight:
     left_gray: np.ndarray | None
     pose: "_AsyncPose | None" = None  # device-tracking pose block
     left_dev: Any = None  # device-resident (2, H, W) uint8 upload
+    kf_epoch: int = -1  # device-kf mode: kf-state epoch at dispatch
 
 
 class PipelinedStereoTracker:
@@ -173,6 +174,26 @@ class PipelinedStereoTracker:
         # when the same frame is solved twice) — rebuild it from the host's
         # last pose/rel before the next dispatch instead.
         self._carry_stale = True
+        # Zero-lag device keyframe mode (SUPERSLAM_DEVICE_KF, default on
+        # with device tracking): the keyframe state rides the program's scan
+        # carry and promotion happens in-program (track_kf_scan), so every
+        # frame matches against the NEWEST keyframe — the rendered-circuit
+        # A/B measured the dispatch-frozen keyframe lag at 3x the sync ATE.
+        # The host follows the readback's accept/promo bits; `_kf_epoch`
+        # counts host-initiated reseeds (first keyframe, flush tails) so
+        # frames dispatched against superseded device state fall back to the
+        # host re-match path instead of trusting stale matches.
+        from ..utils.env import env_flag
+        self.device_kf = self.device_tracking and env_flag(
+            "SUPERSLAM_DEVICE_KF", True
+        )
+        self._kf_state = None  # (nk, desc, valid, xw, depth_ok, since)
+        self._kf_epoch = 0
+        # True while the host keyframe chain has advanced past the device
+        # carry (host-initiated insertion): in-flight device results then
+        # refer to an OLDER keyframe than estimator._last_keyframe_id and
+        # must not be adopted under that id.
+        self._kf_dirty = False
         if self.device_tracking:
             s = _track_statics(pipeline.calib)
             self._trk_calib = s["calib"]
@@ -180,6 +201,15 @@ class PipelinedStereoTracker:
             self._trk_sigma_px = s["sigma_px"]
             self._trk_disp_sigma0 = s["disp_sigma0"]
             self._trk_disp_cond = s["disp_cond"]
+        if self.device_kf:
+            from ..utils.env import env_float
+
+            self._kf_accept_frac = env_float("SUPERSLAM_TRACK_ACCEPT_FRAC", 0.4)
+            self._kf_support_px = 2.0 * env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
+            self._kf_covis = env_float(
+                "SUPERSLAM_KF_COVIS", estimator._covisibility_ratio
+            )
+            self._kf_max_frames = int(estimator._max_keyframe_frames)
         # In-flight frames can lag up to depth*batch insertions behind the
         # newest keyframe; retain enough keyframes that their precomputed
         # matches stay resolvable (an eviction forces a host re-match, which
@@ -199,6 +229,41 @@ class PipelinedStereoTracker:
         self._fetchers = ThreadPoolExecutor(
             max_workers=max(2, self.depth), thread_name_prefix="d2h-fetch"
         )
+
+    def _seed_kf_state(self) -> None:
+        """(Re)build the device keyframe carry from the host's newest
+        keyframe: the bootstrap after the first insertion, and the recovery
+        after any host-initiated insertion or flush-tail pollution. Bumps
+        the epoch so in-flight frames dispatched against the superseded
+        device state fall back to the host re-match path."""
+        import jax.numpy as jnp
+
+        from .features import keyframe_world_arrays
+
+        pl = self.pipeline
+        est = self.estimator
+        frame = est._last_keyframe
+        feats = frame.descriptors_left
+        scale = max(pl.width, pl.height) / 2.0
+        center = jnp.asarray([pl.width / 2.0, pl.height / 2.0], jnp.float32)
+        nk = (feats.kpts - center) / scale
+        valid = feats.valid
+        if valid is None:
+            valid = jnp.asarray(np.arange(pl.K) < feats.n)
+        xw, dok = keyframe_world_arrays(frame, pl.calib, pl.K)
+        self._kf_state = (
+            nk,
+            feats.desc,
+            valid,
+            jnp.asarray(xw),
+            jnp.asarray(dok),
+            jnp.asarray(est._frames_since_keyframe, jnp.int32),
+        )
+        self._kf_epoch += 1
+        self._kf_dirty = False
+        # The device pose chain re-anchors on host state along with the
+        # keyframe (they travel through the same program carry).
+        self._carry_stale = True
 
     # -- pipeline ------------------------------------------------------------
     def submit(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> None:
@@ -243,7 +308,53 @@ class PipelinedStereoTracker:
             else jnp.concatenate([d for d, _, _ in staged], axis=0)
         )
         pose_fut = None
-        if self.device_tracking:
+        if self.device_kf and self._kf_state is None and self._have_kf:
+            self._seed_kf_state()
+        used_kf_program = False
+        if self.device_kf and self._kf_state is not None:
+            used_kf_program = True
+            from ..ops.frontend_step import fused_stereo_track_kf_step_multi
+
+            if self._carry is None or self._carry_stale:
+                self._carry = _pose_carry(self._last_pose, self._last_rel)
+                self._carry_stale = False
+            packed, desc, kpts, valid, track_out, self._kf_state, self._carry = (
+                fused_stereo_track_kf_step_multi(
+                    pl.sp_params,
+                    pl.lg_params,
+                    images,
+                    self._kf_state,
+                    self._carry,
+                    max_keypoints=pl.K,
+                    keypoint_threshold=pl.keypoint_threshold,
+                    remove_borders=pl.remove_borders,
+                    nms_radius=pl.nms_radius,
+                    true_width=pl.width,
+                    true_height=pl.height,
+                    min_disparity=pl.min_disparity,
+                    match_threshold=pl.match_threshold,
+                    calib=self._trk_calib,
+                    min_matches=self._trk_min_matches,
+                    track_sigma_px=self._trk_sigma_px,
+                    disp_sigma0=self._trk_disp_sigma0,
+                    disp_cond=self._trk_disp_cond,
+                    accept_frac=self._kf_accept_frac,
+                    support_px=self._kf_support_px,
+                    kf_min_frames=2,
+                    kf_max_frames=self._kf_max_frames,
+                    kf_min_matches=30,
+                    covis_ratio=self._kf_covis,
+                )
+            )
+            pose_fut = _AsyncPose(track_out)
+            if n_real < self.batch:
+                # Duplicate flush-tail frames ran the scan: both the pose
+                # carry AND the device keyframe may have moved (a duplicate
+                # can promote). Rebuild both from host state before the next
+                # dispatch.
+                self._carry_stale = True
+                self._kf_state = None
+        elif self.device_tracking and not self.device_kf:
             from ..ops.frontend_step import fused_stereo_track_step_multi
 
             if self._carry is None or self._carry_stale:
@@ -319,6 +430,7 @@ class PipelinedStereoTracker:
                     left_gray,
                     pose=pose_fut,
                     left_dev=dev if self.loop_descriptor_fn is not None else None,
+                    kf_epoch=self._kf_epoch if used_kf_program else -1,
                 )
             )
 
@@ -329,8 +441,27 @@ class PipelinedStereoTracker:
         with profile_scope("pl_fetch_wait"):
             frame, kf_matches = self._decode(item)
         device_pose = None
-        if item.pose is not None and item.kf_ref_id is not None:
-            device_pose = _decode_device_pose(item.pose.result()[item.slot])
+        device_accept = device_promote = None
+        kf_ref = item.kf_ref_id
+        if item.pose is not None:
+            if item.kf_epoch >= 0:
+                # Zero-lag device keyframe dispatch: matches/pose refer to
+                # the device-carried keyframe, which equals the host's
+                # NEWEST keyframe as long as every insertion since this
+                # frame's dispatch came from a promo bit (the host follows
+                # them in drain order). A host-initiated insertion or a
+                # reseed breaks that lockstep — fall back to the host
+                # re-match path for the in-flight frames it orphaned.
+                if item.kf_epoch == self._kf_epoch and not self._kf_dirty:
+                    row = item.pose.result()[item.slot]
+                    device_pose = _decode_device_pose(row)
+                    device_accept = bool(row[14] > 0.5)
+                    device_promote = bool(row[15] > 0.5)
+                    kf_ref = self.estimator._last_keyframe_id
+                else:
+                    kf_ref = None
+            elif item.kf_ref_id is not None:
+                device_pose = _decode_device_pose(item.pose.result()[item.slot])
         provider = None
         if self.loop_descriptor_fn is not None and item.left_dev is not None:
             fn, dev = self.loop_descriptor_fn, item.left_dev
@@ -339,15 +470,26 @@ class PipelinedStereoTracker:
         pose = self.estimator.track(
             frame,
             item.left_gray,
-            kf_matches=kf_matches if item.kf_ref_id is not None else None,
-            kf_ref_id=item.kf_ref_id,
+            kf_matches=kf_matches if kf_ref is not None else None,
+            kf_ref_id=kf_ref,
             device_pose=device_pose,
             descriptor_provider=provider,
+            device_accept=device_accept,
+            device_promote=device_promote,
         )
         if self.estimator._last_keyframe is frame:
-            self.pipeline.set_keyframe(frame.descriptors_left)
-            if self.device_tracking:
-                self.pipeline.set_keyframe_world(frame)
+            if self.device_kf:
+                if not device_promote:
+                    # Host-initiated insertion (first keyframe, or a frame
+                    # that drained through the host path): the device carry
+                    # no longer matches the newest keyframe. Reseed at the
+                    # next dispatch.
+                    self._kf_state = None
+                    self._kf_dirty = True
+            else:
+                self.pipeline.set_keyframe(frame.descriptors_left)
+                if self.device_tracking:
+                    self.pipeline.set_keyframe_world(frame)
         self._last_rel = prev.between(pose)
         self._last_pose = pose
         self._have_kf = True

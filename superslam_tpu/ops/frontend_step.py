@@ -337,6 +337,102 @@ def fused_stereo_track_step_multi(
     return packed, dl, kl, vl, track_out, carry
 
 
+def _frame_solve(
+    R_prev,
+    t_prev,
+    R_pred,
+    t_pred,
+    kl_s,  # (K, 2) this frame's left keypoints (pixels)
+    disp_s,  # (K,)
+    ok_s,  # (K,) bool stereo-gate pass
+    tm_s,  # (K,) int32: frame keypoint matched to KF feature i, or -1
+    kf_xw,  # (K, 3) world points of the KF features
+    kf_depth_ok,  # (K,) bool
+    *,
+    calib,
+    min_matches,
+    inv_sig_uLv,
+    disp_sigma0,
+    disp_cond,
+    mono,
+    gate_px,
+    chi2_px,
+    chi2_rounds,
+    track_iters,
+):
+    """One frame's prior-gated pose solve — the scan-body core shared by
+    track_scan and track_kf_scan (the math must never diverge; the solve
+    semantics are documented on track_scan). Returns
+    (R_s, t_s, n, ok, resid): the solved pose, the usable-match count, the
+    usable-match mask, and the reprojection-residual closure
+    ``resid(R, t) -> (px_dist (K,), z_ok (K,))`` for support counting."""
+    from .pose_solver import pose_only_lm_impl
+
+    fx, fy, cx, cy, _ = calib
+    fi = jnp.maximum(tm_s, 0)
+    uL = jnp.take(kl_s[:, 0], fi)
+    v = jnp.take(kl_s[:, 1], fi)
+    d = jnp.take(disp_s, fi)
+    ok = (tm_s >= 0) & jnp.take(ok_s, fi) & kf_depth_ok
+    meas = jnp.stack([uL, uL - d, v], axis=1)
+    dc = jnp.maximum(d, 1e-3)
+    ratio = disp_cond / dc
+    if mono:
+        inv_sig_uR = jnp.zeros_like(dc)
+    else:
+        inv_sig_uR = 1.0 / (disp_sigma0 * jnp.sqrt(1.0 + ratio * ratio))
+    inv_sig = jnp.stack(
+        [jnp.full_like(dc, inv_sig_uLv), inv_sig_uR, jnp.full_like(dc, inv_sig_uLv)],
+        axis=1,
+    )
+    n = jnp.sum(ok)
+
+    def resid(R, t):
+        p = (kf_xw - t) @ R  # rows are R^T (X - t), camera frame
+        z = p[:, 2]
+        zok = z > 0.1
+        zs = jnp.where(zok, z, 1.0)
+        uL_hat = fx * p[:, 0] / zs + cx
+        v_hat = fy * p[:, 1] / zs + cy
+        return jnp.hypot(uL_hat - uL, v_hat - v), zok
+
+    keep = ok
+    if gate_px > 0:
+        r0, zok0 = resid(R_pred, t_pred)
+        k0 = ok & zok0 & (r0 < gate_px)
+        keep = jnp.where(jnp.sum(k0) >= min_matches, k0, ok)
+    R_s, t_s = pose_only_lm_impl(
+        R_prev,
+        t_prev,
+        kf_xw,
+        meas,
+        inv_sig,
+        keep.astype(jnp.float32),
+        calib,
+        track_iters,
+    )
+    stopped = jnp.array(False)
+    for _ in range(chi2_rounds):
+        r, zok = resid(R_s, t_s)
+        k2 = ok & zok & (r < chi2_px)
+        round_ok = (jnp.sum(k2) >= min_matches) & jnp.logical_not(stopped)
+        keep = jnp.where(round_ok, k2, keep)
+        R_n, t_n = pose_only_lm_impl(
+            R_s,
+            t_s,
+            kf_xw,
+            meas,
+            inv_sig,
+            keep.astype(jnp.float32),
+            calib,
+            track_iters,
+        )
+        R_s = jnp.where(round_ok, R_n, R_s)
+        t_s = jnp.where(round_ok, t_n, t_s)
+        stopped = stopped | jnp.logical_not(round_ok)
+    return R_s, t_s, n, ok, resid
+
+
 def track_scan(
     kl,  # (S, K, 2) left keypoints (pixels)
     disparity,  # (S, K)
@@ -387,7 +483,6 @@ def track_scan(
     reprojection only — the KF world points carry the metric scale. Pass
     disparity=0 and stereo_ok=valid in that mode."""
     from ..utils.env import env_float, env_int
-    from .pose_solver import pose_only_lm_impl
 
     gate_on = env_flag("SUPERSLAM_TRACK_GATE", True)
     if gate_px is None:
@@ -398,77 +493,38 @@ def track_scan(
         chi2_rounds = env_int("SUPERSLAM_TRACK_CHI2_ROUNDS", 2) if gate_on else 0
 
     inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
-    fx, fy, cx, cy, _ = calib
 
     def step(c, per_frame):
         R_prev, t_prev, Rr, tr = c
         kl_s, disp_s, ok_s, tm_s = per_frame
-        fi = jnp.maximum(tm_s, 0)
-        uL = jnp.take(kl_s[:, 0], fi)
-        v = jnp.take(kl_s[:, 1], fi)
-        d = jnp.take(disp_s, fi)
-        ok = (tm_s >= 0) & jnp.take(ok_s, fi) & kf_depth_ok
-        meas = jnp.stack([uL, uL - d, v], axis=1)
-        dc = jnp.maximum(d, 1e-3)
-        ratio = disp_cond / dc
-        if mono:
-            inv_sig_uR = jnp.zeros_like(dc)
-        else:
-            inv_sig_uR = 1.0 / (disp_sigma0 * jnp.sqrt(1.0 + ratio * ratio))
-        inv_sig = jnp.stack(
-            [jnp.full_like(dc, inv_sig_uLv), inv_sig_uR, jnp.full_like(dc, inv_sig_uLv)],
-            axis=1,
-        )
-        n = jnp.sum(ok)
 
         # Constant-velocity prediction: the GATING pose (the LM inits at
         # the previous pose — see docstring).
         R_pred = R_prev @ Rr
         t_pred = R_prev @ tr + t_prev
 
-        def resid(R, t):
-            p = (kf_xw - t) @ R  # rows are R^T (X - t), camera frame
-            z = p[:, 2]
-            zok = z > 0.1
-            zs = jnp.where(zok, z, 1.0)
-            uL_hat = fx * p[:, 0] / zs + cx
-            v_hat = fy * p[:, 1] / zs + cy
-            return jnp.hypot(uL_hat - uL, v_hat - v), zok
-
-        keep = ok
-        if gate_px > 0:
-            r0, zok0 = resid(R_pred, t_pred)
-            k0 = ok & zok0 & (r0 < gate_px)
-            keep = jnp.where(jnp.sum(k0) >= min_matches, k0, ok)
-        R_s, t_s = pose_only_lm_impl(
+        R_s, t_s, n, _ok, _resid = _frame_solve(
             R_prev,
             t_prev,
+            R_pred,
+            t_pred,
+            kl_s,
+            disp_s,
+            ok_s,
+            tm_s,
             kf_xw,
-            meas,
-            inv_sig,
-            keep.astype(jnp.float32),
-            calib,
-            track_iters,
+            kf_depth_ok,
+            calib=calib,
+            min_matches=min_matches,
+            inv_sig_uLv=inv_sig_uLv,
+            disp_sigma0=disp_sigma0,
+            disp_cond=disp_cond,
+            mono=mono,
+            gate_px=gate_px,
+            chi2_px=chi2_px,
+            chi2_rounds=chi2_rounds,
+            track_iters=track_iters,
         )
-        stopped = jnp.array(False)
-        for _ in range(chi2_rounds):
-            r, zok = resid(R_s, t_s)
-            k2 = ok & zok & (r < chi2_px)
-            round_ok = (jnp.sum(k2) >= min_matches) & jnp.logical_not(stopped)
-            keep = jnp.where(round_ok, k2, keep)
-            R_n, t_n = pose_only_lm_impl(
-                R_s,
-                t_s,
-                kf_xw,
-                meas,
-                inv_sig,
-                keep.astype(jnp.float32),
-                calib,
-                track_iters,
-            )
-            R_s = jnp.where(round_ok, R_n, R_s)
-            t_s = jnp.where(round_ok, t_n, t_s)
-            stopped = stopped | jnp.logical_not(round_ok)
         use = n >= min_matches
         R_coast = R_prev @ Rr
         t_coast = R_prev @ tr + t_prev
@@ -485,6 +541,357 @@ def track_scan(
         step, carry, (kl, disparity, stereo_ok, track_m)
     )
     return track_out, new_carry
+
+
+def _extract_stereo(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, ...], padded
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    min_disparity: float,
+    match_threshold: float,
+):
+    """Extraction + stereo matching WITHOUT the keyframe track match: the
+    front half of _frontend_core for programs that match against a keyframe
+    carried inside their own scan (track_kf_scan). Returns
+    (kl (S,K,2) px, nkl (S,K,2) normalized, dl (S,K,D), vl (S,K),
+    disparity (S,K), stereo_ok (S,K))."""
+    S = images_u8.shape[0] // 2
+    images = images_u8.astype(jnp.float32) / 255.0
+    subpixel = env_flag("SUPERSLAM_SP_SUBPIXEL", True)
+    out = superpoint_dense(
+        sp_params, images, nms_radius=nms_radius, return_pre_nms=subpixel
+    )
+    scores, grid = out[0], out[1]
+    kpts, kp_scores, valid, desc = select_keypoints(
+        scores,
+        grid,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        true_width,
+        true_height,
+        raw_scores=out[2] if subpixel else None,
+    )
+    kl, kr = kpts[0::2], kpts[1::2]  # (S, K, 2)
+    dl, dr = desc[0::2], desc[1::2]
+    vl, vr = valid[0::2], valid[1::2]
+
+    scale = max(true_width, true_height) / 2.0
+    center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
+    nkl = (kl - center) / scale
+    nkr = (kr - center) / scale
+
+    la = lightglue_forward(lg_params, nkl, dl, nkr, dr, vl, vr)
+    stereo_m, _ = extract_matches(la, vl, vr, match_threshold)
+
+    j = jnp.maximum(stereo_m, 0)
+    uR = jnp.take_along_axis(kr[..., 0], j, axis=1)
+    vR = jnp.take_along_axis(kr[..., 1], j, axis=1)
+    disparity = kl[..., 0] - uR
+    row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
+    stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
+    return kl, nkl, dl, vl, disparity, stereo_ok
+
+
+TRACK_KF_COLS = 16  # R row-major (9) + t (3) + n + support + accept + promo
+
+
+def track_kf_scan(
+    lg_params,
+    kl,  # (S, K, 2) left keypoints (pixels)
+    nkl,  # (S, K, 2) normalized left keypoints (LightGlue frame)
+    dl,  # (S, K, D) left descriptors
+    vl,  # (S, K) bool
+    disparity,  # (S, K)
+    stereo_ok,  # (S, K) bool
+    kf_state,  # (kf_nk (K,2), kf_desc (K,D), kf_valid (K,), kf_xw (K,3),
+    #             kf_depth_ok (K,), since (int32 scalar))
+    pose_carry,  # (R (3,3), t (3,), rel_R (3,3), rel_t (3,))
+    *,
+    calib: tuple,
+    min_matches: int,
+    track_sigma_px: float,
+    disp_sigma0: float,
+    disp_cond: float,
+    match_threshold: float,
+    accept_frac: float,
+    support_px: float,
+    kf_min_frames: int,
+    kf_max_frames: int,
+    kf_min_matches: int,
+    covis_ratio: float,
+    track_iters: int = 20,
+    gate_px: float | None = None,
+    chi2_px: float | None = None,
+    chi2_rounds: int | None = None,
+):
+    """Zero-lag on-device tracking: the KEYFRAME LIVES IN THE SCAN CARRY.
+
+    track_scan matches every frame of a dispatch against the keyframe state
+    frozen at dispatch time, so pipelined frames track against a keyframe up
+    to depth*batch insertions old — the rendered-circuit A/B measured that
+    lag at 3x the ATE of the synchronous path (0.296 m vs 0.103 m), with a
+    host re-match against the newest keyframe recovering sync exactly. This
+    scan removes the lag at the source instead of paying a host round trip:
+    each frame runs its own LightGlue forward against the CARRIED keyframe,
+    solves, and — when the keyframe gate fires — promotes itself to be the
+    keyframe for the very next frame, all inside one XLA program. The host
+    follows the readback's promo bit (VoEstimator track(device_promote=...))
+    so host map bookkeeping stays in lockstep, and the per-insertion
+    keyframe H2D upload disappears entirely (the keyframe never leaves the
+    chip).
+
+    Gate semantics mirror core.keyframe_gate.should_insert_keyframe
+    (reference ``include/KeyframeGate.h:11-24``) with reference_features =
+    the carried keyframe's depth-valid count, and solve acceptance mirrors
+    VoEstimator's support-based rule (support/accept also ride the readback
+    row so the host adopts the same decision instead of recomputing it in
+    f64 and desyncing at the boundary). Promotion grounds the new keyframe's
+    world points through the ACCEPTED device solve — the instantaneous LM
+    pose, not the host's window-smoothed pose (the one intentional
+    divergence from the host insertion path; the smoother still corrects
+    the host-side trajectory).
+
+    Stereo-only: RGB-D promotion would need frame-side depth, which never
+    visits the device (ops.rgbd_step docstring).
+
+    Returns (track_out (S, TRACK_KF_COLS) f32, track_m (S, K) int32,
+    new_kf_state, new_pose_carry).
+    """
+    from ..utils.env import env_float, env_int
+
+    gate_on = env_flag("SUPERSLAM_TRACK_GATE", True)
+    if gate_px is None:
+        gate_px = env_float("SUPERSLAM_TRACK_GATE_PX", 10.0) if gate_on else 0.0
+    if chi2_px is None:
+        chi2_px = env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
+    if chi2_rounds is None:
+        chi2_rounds = env_int("SUPERSLAM_TRACK_CHI2_ROUNDS", 2) if gate_on else 0
+
+    inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
+    fx, fy, cx, cy, baseline = calib
+
+    def step(c, per_frame):
+        R_prev, t_prev, Rr, tr, kf_nk, kf_d, kf_v, kf_xw, kf_dok, since = c
+        kl_s, nkl_s, dl_s, vl_s, disp_s, sok_s = per_frame
+
+        la = lightglue_forward(
+            lg_params,
+            kf_nk[None],
+            kf_d[None],
+            nkl_s[None],
+            dl_s[None],
+            kf_v[None],
+            vl_s[None],
+        )
+        tm, _ = extract_matches(la, kf_v[None], vl_s[None], match_threshold)
+        tm_s = tm[0]
+
+        R_pred = R_prev @ Rr
+        t_pred = R_prev @ tr + t_prev
+        R_s, t_s, n, ok, resid = _frame_solve(
+            R_prev,
+            t_prev,
+            R_pred,
+            t_pred,
+            kl_s,
+            disp_s,
+            sok_s,
+            tm_s,
+            kf_xw,
+            kf_dok,
+            calib=calib,
+            min_matches=min_matches,
+            inv_sig_uLv=inv_sig_uLv,
+            disp_sigma0=disp_sigma0,
+            disp_cond=disp_cond,
+            mono=False,
+            gate_px=gate_px,
+            chi2_px=chi2_px,
+            chi2_rounds=chi2_rounds,
+            track_iters=track_iters,
+        )
+
+        # Support-based acceptance — VoEstimator._attempt's rule, in-program.
+        r, zok = resid(R_s, t_s)
+        support = jnp.sum(ok & zok & (r < support_px))
+        finite = jnp.all(jnp.isfinite(t_s)) & jnp.all(jnp.isfinite(R_s))
+        accept = (n >= min_matches) & finite
+        if accept_frac > 0:
+            accept = accept & (
+                support.astype(jnp.float32)
+                >= jnp.maximum(
+                    jnp.float32(min_matches), accept_frac * n.astype(jnp.float32)
+                )
+            )
+
+        R_new = _reorthonormalize(jnp.where(accept, R_s, R_pred))
+        t_new = jnp.where(accept, t_s, t_pred)
+        Rr_new = jnp.where(accept, R_prev.T @ R_new, Rr)
+        tr_new = jnp.where(accept, R_prev.T @ (t_new - t_prev), tr)
+
+        # Keyframe gate (should_insert_keyframe, exact semantics).
+        since1 = since + 1
+        nref = jnp.sum(kf_dok)
+        ratio_low = n.astype(jnp.float32) < covis_ratio * jnp.maximum(
+            nref, 1
+        ).astype(jnp.float32)
+        gate = (since1 >= kf_min_frames) & (
+            (since1 >= kf_max_frames) | (n < kf_min_matches) | ratio_low
+        )
+        promo = accept & gate
+
+        # Promotion: this frame's features become the keyframe; world points
+        # ground through the accepted solve (Xw = R Xc + t).
+        d_safe = jnp.maximum(disp_s, 1e-3)
+        z = (fx * baseline) / d_safe
+        x = (kl_s[:, 0] - cx) * z / fx
+        y = (kl_s[:, 1] - cy) * z / fy
+        xw_new = jnp.stack([x, y, z], axis=1) @ R_new.T + t_new
+        kf_nk2 = jnp.where(promo, nkl_s, kf_nk)
+        kf_d2 = jnp.where(promo, dl_s, kf_d)
+        kf_v2 = jnp.where(promo, vl_s, kf_v)
+        kf_xw2 = jnp.where(promo, xw_new, kf_xw)
+        kf_dok2 = jnp.where(promo, sok_s, kf_dok)
+        since2 = jnp.where(promo, 0, since1)
+
+        row = jnp.concatenate(
+            [
+                R_new.reshape(9),
+                t_new,
+                n.astype(jnp.float32)[None],
+                support.astype(jnp.float32)[None],
+                accept.astype(jnp.float32)[None],
+                promo.astype(jnp.float32)[None],
+            ]
+        )
+        new_c = (
+            R_new,
+            t_new,
+            Rr_new,
+            tr_new,
+            kf_nk2,
+            kf_d2,
+            kf_v2,
+            kf_xw2,
+            kf_dok2,
+            since2,
+        )
+        return new_c, (row, tm_s)
+
+    carry0 = pose_carry + kf_state
+    new_carry, (track_out, track_m) = jax.lax.scan(
+        step, carry0, (kl, nkl, dl, vl, disparity, stereo_ok)
+    )
+    return track_out, track_m, new_carry[4:], new_carry[:4]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "keypoint_threshold",
+        "remove_borders",
+        "nms_radius",
+        "true_width",
+        "true_height",
+        "min_disparity",
+        "match_threshold",
+        "calib",
+        "min_matches",
+        "track_sigma_px",
+        "disp_sigma0",
+        "disp_cond",
+        "accept_frac",
+        "support_px",
+        "kf_min_frames",
+        "kf_max_frames",
+        "kf_min_matches",
+        "covis_ratio",
+        "track_iters",
+    ),
+)
+def fused_stereo_track_kf_step_multi(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, ...], padded
+    kf_state: tuple,  # see track_kf_scan
+    pose_carry: tuple,  # (R, t, rel_R, rel_t)
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    min_disparity: float,
+    match_threshold: float,
+    calib: tuple,
+    min_matches: int,
+    track_sigma_px: float,
+    disp_sigma0: float,
+    disp_cond: float,
+    accept_frac: float,
+    support_px: float,
+    kf_min_frames: int,
+    kf_max_frames: int,
+    kf_min_matches: int,
+    covis_ratio: float,
+    track_iters: int = 20,
+):
+    """fused_stereo_track_step_multi with ZERO-LAG keyframe promotion: the
+    keyframe state rides the scan carry (track_kf_scan docstring), so the
+    KF<->frame LightGlue forward moves inside the per-frame scan (the S
+    stereo matches stay batched in one forward — _extract_stereo). Extra
+    device cost is the serialized track forwards; extra readback is 3 f32
+    per frame; the per-insertion keyframe feature/world uploads disappear.
+
+    Returns (packed, dl, kl, vl, track_out (S, TRACK_KF_COLS),
+    new_kf_state, new_pose_carry)."""
+    kl, nkl, dl, vl, disparity, stereo_ok = _extract_stereo(
+        sp_params,
+        lg_params,
+        images_u8,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        nms_radius,
+        true_width,
+        true_height,
+        min_disparity,
+        match_threshold,
+    )
+    track_out, track_m, kf_state2, pose_carry2 = track_kf_scan(
+        lg_params,
+        kl,
+        nkl,
+        dl,
+        vl,
+        disparity,
+        stereo_ok,
+        kf_state,
+        pose_carry,
+        calib=calib,
+        min_matches=min_matches,
+        track_sigma_px=track_sigma_px,
+        disp_sigma0=disp_sigma0,
+        disp_cond=disp_cond,
+        match_threshold=match_threshold,
+        accept_frac=accept_frac,
+        support_px=support_px,
+        kf_min_frames=kf_min_frames,
+        kf_max_frames=kf_max_frames,
+        kf_min_matches=kf_min_matches,
+        covis_ratio=covis_ratio,
+        track_iters=track_iters,
+    )
+    packed = _pack(kl, vl, disparity, stereo_ok, track_m)
+    return packed, dl, kl, vl, track_out, kf_state2, pose_carry2
 
 
 def fused_stereo_step(

@@ -173,10 +173,11 @@ def test_graft_entry_contract():
 
     fn, args = g.entry()
     out = fn(*args)
-    # The fused track step contract: (packed, desc, kpts, valid, track_out,
-    # carry) with the packed readback and the pose row well-formed.
-    packed, _desc, _kpts, _valid, track_out, _carry = out
-    assert packed.shape[0] == 4 and track_out.shape[1] == 13
+    # The fused track-kf step contract: (packed, desc, kpts, valid,
+    # track_out, kf_state, pose_carry) with the packed readback and the
+    # pose/accept/promo row well-formed (TRACK_KF_COLS = 16).
+    packed, _desc, _kpts, _valid, track_out, _kf_state, _carry = out
+    assert packed.shape[0] == 4 and track_out.shape[1] == 16
     import numpy as np
 
     assert np.isfinite(np.asarray(track_out)).all()
