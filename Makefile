@@ -6,13 +6,19 @@ PY ?= python
 SEQ ?= 00
 DATASET_ROOT ?= datasets
 
-.PHONY: test bench native sanitize-test run-kitti run-euroc run-tum evaluate-kitti clean
+.PHONY: test bench accuracy native sanitize-test run-kitti run-euroc run-tum evaluate-kitti clean
 
 test:
 	$(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
+
+# Offline accuracy matrix: renders ground-truth sequences (no datasets or
+# egress needed; weights/superpoint_render.safetensors is committed), runs
+# the real CLI runners end-to-end, writes ACCURACY.json.
+accuracy:
+	$(PY) scripts/accuracy_suite.py
 
 native:
 	$(MAKE) -C csrc
