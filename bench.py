@@ -220,53 +220,83 @@ def main() -> None:
 
         from superslam_tpu.ops.frontend_step import (
             fused_stereo_step_multi,
-            fused_stereo_track_step_multi,
+            fused_stereo_track_kf_step_multi,
         )
 
         img0 = jnp.asarray(pipeline._prepare_np(*frames[0]))
         device_tracking = _device_tracker_flag()
+        common = dict(
+            max_keypoints=pipeline.K,
+            keypoint_threshold=pipeline.keypoint_threshold,
+            remove_borders=pipeline.remove_borders,
+            nms_radius=pipeline.nms_radius,
+            true_width=pipeline.width, true_height=pipeline.height,
+            min_disparity=pipeline.min_disparity,
+            match_threshold=pipeline.match_threshold,
+        )
 
-        def step_program(c):
+        def prog(iters):
             """The SAME program family as the measured run: the plain fused
-            step, or the track variant (extraction + matching + pose LM
-            chain) when SUPERSLAM_DEVICE_TRACKER was on."""
-            common = dict(
-                max_keypoints=pipeline.K,
-                keypoint_threshold=pipeline.keypoint_threshold,
-                remove_borders=pipeline.remove_borders,
-                nms_radius=pipeline.nms_radius,
-                true_width=pipeline.width, true_height=pipeline.height,
-                min_disparity=pipeline.min_disparity,
-                match_threshold=pipeline.match_threshold,
-            )
+            step, or the zero-lag keyframe-promotion variant (extraction +
+            matching + pose LM + in-program keyframe gate) when
+            SUPERSLAM_DEVICE_TRACKER was on — threading the REAL cross-frame
+            state (keyframe + pose carry) through the scan, exactly like
+            consecutive production dispatches."""
             if device_tracking:
                 eye = jnp.eye(3, dtype=jnp.float32)
                 zero = jnp.zeros((3,), jnp.float32)
-                packed, *_ = fused_stereo_track_step_multi(
-                    pipeline.sp_params, pipeline.lg_params, c,
-                    pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
-                    pipeline._kf_xw, pipeline._kf_depth_ok,
-                    eye, zero, eye, zero,
-                    calib=tracker._trk_calib,
-                    min_matches=tracker._trk_min_matches,
-                    track_sigma_px=tracker._trk_sigma_px,
-                    disp_sigma0=tracker._trk_disp_sigma0,
-                    disp_cond=tracker._trk_disp_cond,
-                    **common,
+                K = pipeline.K
+                kf0 = (
+                    jnp.zeros((K, 2), jnp.float32),
+                    jnp.zeros((K, 256), jnp.float32),
+                    jnp.zeros((K,), bool),
+                    jnp.zeros((K, 3), jnp.float32),
+                    jnp.zeros((K,), bool),
+                    jnp.zeros((), jnp.int32),
                 )
-                return packed
-            packed, _desc, _kpts, _valid = fused_stereo_step_multi(
-                pipeline.sp_params, pipeline.lg_params, c,
-                pipeline._kf_kpts, pipeline._kf_desc, pipeline._kf_valid,
-                **common,
-            )
-            return packed
 
-        def prog(iters):
+                @jax.jit
+                def run(images):
+                    def body(c, _):
+                        imgs, kf_state, pose_carry = c
+                        packed, _d, _k, _v, _t, kf_state, pose_carry = (
+                            fused_stereo_track_kf_step_multi(
+                                pipeline.sp_params, pipeline.lg_params, imgs,
+                                kf_state, pose_carry,
+                                calib=tracker._trk_calib,
+                                min_matches=tracker._trk_min_matches,
+                                track_sigma_px=tracker._trk_sigma_px,
+                                disp_sigma0=tracker._trk_disp_sigma0,
+                                disp_cond=tracker._trk_disp_cond,
+                                accept_frac=tracker._kf_accept_frac,
+                                support_px=tracker._kf_support_px,
+                                kf_min_frames=2,
+                                kf_max_frames=tracker._kf_max_frames,
+                                kf_min_matches=30,
+                                covis_ratio=tracker._kf_covis,
+                                **common,
+                            )
+                        )
+                        nxt = (
+                            jnp.roll(imgs, 1, axis=2)
+                            + packed[0, 0].astype(jnp.uint8)
+                        ).astype(jnp.uint8)
+                        return (nxt, kf_state, pose_carry), packed[0, 1]
+                    _, outs = lax.scan(
+                        body, (images, kf0, (eye, zero, eye, zero)), None,
+                        length=iters,
+                    )
+                    return outs.reshape(iters, 1)
+                return run
+
             @jax.jit
             def run(images):
                 def body(c, _):
-                    packed = step_program(c)
+                    packed, _desc, _kpts, _valid = fused_stereo_step_multi(
+                        pipeline.sp_params, pipeline.lg_params, c,
+                        pipeline._kf_kpts, pipeline._kf_desc,
+                        pipeline._kf_valid, **common,
+                    )
                     nxt = (
                         jnp.roll(c, 1, axis=2) + packed[0, 0].astype(jnp.uint8)
                     ).astype(jnp.uint8)
