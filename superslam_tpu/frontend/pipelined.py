@@ -312,14 +312,16 @@ class PipelinedStereoTracker:
             self._seed_kf_state()
         used_kf_program = False
         if self.device_kf and self._kf_state is not None:
-            used_kf_program = True
             from ..ops.frontend_step import fused_stereo_track_kf_step_multi
 
             if self._carry is None or self._carry_stale:
                 self._carry = _pose_carry(self._last_pose, self._last_rel)
                 self._carry_stale = False
-            packed, desc, kpts, valid, track_out, self._kf_state, self._carry = (
-                fused_stereo_track_kf_step_multi(
+            try:
+                (
+                    packed, desc, kpts, valid, track_out,
+                    self._kf_state, self._carry,
+                ) = fused_stereo_track_kf_step_multi(
                     pl.sp_params,
                     pl.lg_params,
                     images,
@@ -345,16 +347,38 @@ class PipelinedStereoTracker:
                     kf_min_matches=30,
                     covis_ratio=self._kf_covis,
                 )
-            )
-            pose_fut = _AsyncPose(track_out)
-            if n_real < self.batch:
-                # Duplicate flush-tail frames ran the scan: both the pose
-                # carry AND the device keyframe may have moved (a duplicate
-                # can promote). Rebuild both from host state before the next
-                # dispatch.
-                self._carry_stale = True
+                used_kf_program = True
+                pose_fut = _AsyncPose(track_out)
+                if n_real < self.batch:
+                    # Duplicate flush-tail frames ran the scan: both the
+                    # pose carry AND the device keyframe may have moved (a
+                    # duplicate can promote). Rebuild both from host state
+                    # before the next dispatch.
+                    self._carry_stale = True
+                    self._kf_state = None
+            except Exception as e:  # pragma: no cover - backend-specific
+                # A compiler failure on an untested backend must degrade,
+                # not kill tracking: fall back permanently to the
+                # dispatch-frozen keyframe program for this run (keyframe
+                # uploads resume; the estimator's rescue handles the lag).
+                import logging
+
+                logging.getLogger("superslam").warning(
+                    "device-kf program failed to compile/run (%s); falling "
+                    "back to dispatch-frozen keyframe tracking",
+                    type(e).__name__,
+                )
+                self.device_kf = False
                 self._kf_state = None
-        elif self.device_tracking and not self.device_kf:
+                self._carry_stale = True
+                # The old program needs the keyframe features/world points
+                # on the pipeline object — rebuild them from the host's
+                # newest keyframe before dispatching.
+                kf_frame = self.estimator._last_keyframe
+                if kf_frame is not None:
+                    self.pipeline.set_keyframe(kf_frame.descriptors_left)
+                    self.pipeline.set_keyframe_world(kf_frame)
+        if not used_kf_program and self.device_tracking and not self.device_kf:
             from ..ops.frontend_step import fused_stereo_track_step_multi
 
             if self._carry is None or self._carry_stale:
@@ -389,7 +413,7 @@ class PipelinedStereoTracker:
             pose_fut = _AsyncPose(track_out)
             if n_real < self.batch:
                 self._carry_stale = True  # duplicates polluted the carry
-        else:
+        elif not used_kf_program:
             from ..ops.frontend_step import fused_stereo_step_multi
 
             packed, desc, kpts, valid = fused_stereo_step_multi(

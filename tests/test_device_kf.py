@@ -141,6 +141,34 @@ def test_device_kf_promotions_lockstep(setup, low_floor):
     )
 
 
+def test_device_kf_compile_failure_falls_back(setup, low_floor, monkeypatch):
+    """A compiler failure in the kf-promotion program (untested backend,
+    Mosaic fragility) must degrade to the dispatch-frozen keyframe program,
+    not kill tracking: same run, keyframe uploads resume, trajectory
+    completes."""
+    import superslam_tpu.ops.frontend_step as fs
+
+    calib, sp, lg, matcher, seq = setup
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic Mosaic compile failure")
+
+    monkeypatch.setattr(fs, "fused_stereo_track_kf_step_multi", boom)
+
+    fused = _pipeline(setup)
+    est = VoEstimator(matcher, calib, window_size=4)
+    tracker = PipelinedStereoTracker(fused, est, depth=2, device_tracking=True)
+    assert tracker.device_kf
+    for i, (l, r) in enumerate(seq):
+        tracker.track(l, r, 0.1 * i)
+    tracker.flush()
+
+    assert not tracker.device_kf  # permanently fell back for this run
+    t = est.corrected_trajectory()
+    assert len(t) == len(seq)
+    assert all(np.isfinite(p.t).all() for p in t)
+
+
 def test_device_kf_flush_tail_reseeds(setup, low_floor):
     """A padded flush tail runs duplicate frames through the promotion scan;
     the tracker must rebuild the device keyframe state before the next
