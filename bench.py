@@ -218,13 +218,23 @@ def main() -> None:
         import jax.numpy as jnp
         from jax import lax
 
+        from superslam_tpu.core.keyframe_gate import (
+            MIN_FRAMES_DEFAULT as KF_MIN_FRAMES,
+            MIN_MATCHES_DEFAULT as KF_MIN_MATCHES,
+        )
         from superslam_tpu.ops.frontend_step import (
             fused_stereo_step_multi,
             fused_stereo_track_kf_step_multi,
+            fused_stereo_track_step_multi,
         )
 
         img0 = jnp.asarray(pipeline._prepare_np(*frames[0]))
-        device_tracking = _device_tracker_flag()
+        # Mirror the MEASURED run's final mode: tracker.device_kf is the
+        # post-run state (False if SUPERSLAM_DEVICE_KF=0 or if the kf
+        # program fell back at first dispatch), so the device-only number
+        # always times the program the run actually used.
+        device_kf = tracker.device_kf
+        device_tracking = tracker.device_tracking
         common = dict(
             max_keypoints=pipeline.K,
             keypoint_threshold=pipeline.keypoint_threshold,
@@ -237,12 +247,11 @@ def main() -> None:
 
         def prog(iters):
             """The SAME program family as the measured run: the plain fused
-            step, or the zero-lag keyframe-promotion variant (extraction +
-            matching + pose LM + in-program keyframe gate) when
-            SUPERSLAM_DEVICE_TRACKER was on — threading the REAL cross-frame
+            step, the dispatch-frozen track variant, or the zero-lag
+            keyframe-promotion variant — threading the REAL cross-frame
             state (keyframe + pose carry) through the scan, exactly like
             consecutive production dispatches."""
-            if device_tracking:
+            if device_kf:
                 eye = jnp.eye(3, dtype=jnp.float32)
                 zero = jnp.zeros((3,), jnp.float32)
                 K = pipeline.K
@@ -270,9 +279,9 @@ def main() -> None:
                                 disp_cond=tracker._trk_disp_cond,
                                 accept_frac=tracker._kf_accept_frac,
                                 support_px=tracker._kf_support_px,
-                                kf_min_frames=2,
+                                kf_min_frames=KF_MIN_FRAMES,
                                 kf_max_frames=tracker._kf_max_frames,
-                                kf_min_matches=30,
+                                kf_min_matches=KF_MIN_MATCHES,
                                 covis_ratio=tracker._kf_covis,
                                 **common,
                             )
@@ -286,6 +295,34 @@ def main() -> None:
                         body, (images, kf0, (eye, zero, eye, zero)), None,
                         length=iters,
                     )
+                    return outs.reshape(iters, 1)
+                return run
+
+            if device_tracking:
+                eye = jnp.eye(3, dtype=jnp.float32)
+                zero = jnp.zeros((3,), jnp.float32)
+
+                @jax.jit
+                def run(images):
+                    def body(c, _):
+                        packed, *_ = fused_stereo_track_step_multi(
+                            pipeline.sp_params, pipeline.lg_params, c,
+                            pipeline._kf_kpts, pipeline._kf_desc,
+                            pipeline._kf_valid, pipeline._kf_xw,
+                            pipeline._kf_depth_ok, eye, zero, eye, zero,
+                            calib=tracker._trk_calib,
+                            min_matches=tracker._trk_min_matches,
+                            track_sigma_px=tracker._trk_sigma_px,
+                            disp_sigma0=tracker._trk_disp_sigma0,
+                            disp_cond=tracker._trk_disp_cond,
+                            **common,
+                        )
+                        nxt = (
+                            jnp.roll(c, 1, axis=2)
+                            + packed[0, 0].astype(jnp.uint8)
+                        ).astype(jnp.uint8)
+                        return nxt, packed[0, 1]
+                    _, outs = lax.scan(body, images, None, length=iters)
                     return outs.reshape(iters, 1)
                 return run
 

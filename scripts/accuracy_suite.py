@@ -81,11 +81,14 @@ def run_stereo_leg(seq_dir: str, name: str, env_extra: dict, platform: str) -> d
     shim = _shim(platform, os.path.join(REPO, "examples", "kitti.py"))
     est = os.path.join(seq_dir, f"est_{name}.txt")
     t0 = time.time()
-    _run(
-        [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
-         "--no-viewer", "--out", est],
-        env_extra,
-    )
+    try:
+        _run(
+            [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
+             "--no-viewer", "--out", est],
+            env_extra,
+        )
+    finally:
+        os.unlink(shim)
     out = _run(
         [sys.executable, os.path.join(REPO, "scripts", "evaluate_kitti.py"),
          est, os.path.join(seq_dir, "poses_gt.txt")]
@@ -100,11 +103,14 @@ def run_rgbd_leg(seq_dir: str, name: str, env_extra: dict, platform: str) -> dic
     shim = _shim(platform, os.path.join(REPO, "examples", "tum_rgbd.py"))
     est = os.path.join(seq_dir, f"est_{name}.txt")
     t0 = time.time()
-    _run(
-        [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
-         "--no-viewer", "--out", est],
-        env_extra,
-    )
+    try:
+        _run(
+            [sys.executable, shim, os.path.join(seq_dir, "config.yaml"), seq_dir,
+             "--no-viewer", "--out", est],
+            env_extra,
+        )
+    finally:
+        os.unlink(shim)
     out = _run(
         [sys.executable, os.path.join(REPO, "scripts", "evaluate_tum.py"),
          est, os.path.join(seq_dir, "groundtruth.txt")]

@@ -9,6 +9,12 @@ covisibility glitch cannot spawn consecutive keyframes.
 
 from __future__ import annotations
 
+# Single source for the gate's fixed thresholds: the on-device gate mirror
+# (ops.frontend_step.track_kf_scan callers) must stay in lockstep with the
+# host gate, so they import these instead of re-stating the literals.
+MIN_FRAMES_DEFAULT = 2
+MIN_MATCHES_DEFAULT = 30
+
 
 def should_insert_keyframe(
     tracked_matches: int,
@@ -16,8 +22,8 @@ def should_insert_keyframe(
     frames_since_keyframe: int,
     covisibility_ratio: float = 0.7,
     max_frames: int = 20,
-    min_frames: int = 2,
-    min_matches: int = 30,
+    min_frames: int = MIN_FRAMES_DEFAULT,
+    min_matches: int = MIN_MATCHES_DEFAULT,
 ) -> bool:
     if frames_since_keyframe < min_frames:
         return False

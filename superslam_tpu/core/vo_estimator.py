@@ -251,10 +251,14 @@ class VoEstimator:
                 # evicted (deep pipelines can lag several insertions) —
                 # interpreting them against the current keyframe would feed
                 # wrong 3D-2D correspondences to the solve. Re-match on host
-                # (and drop the device pose, which was solved against the
-                # same evicted keyframe state).
+                # (and drop the device pose AND the device accept/promote
+                # bits, all judged against the same evicted keyframe state:
+                # a surviving accept bit would exempt the host re-solve from
+                # the coast guard).
                 kf_matches = None
                 device_pose = None
+                device_accept = None
+                device_promote = None
                 match_src = "rematch"
         if kf_matches is not None:
             m = kf_matches
@@ -412,32 +416,30 @@ class VoEstimator:
                 "n_kept": n_kept,
             }
 
-        res = _attempt(kf, kf_f2l, m, device_pose)
         # Lagged matches cost real accuracy even when they nominally succeed:
         # the A/B on the rendered circuit measured pipelined ATE 0.296 m with
         # lagged matches vs 0.103 m re-matching every lagged frame against
         # the newest keyframe — byte-identical to the synchronous path, i.e.
         # the keyframe lag explained the WHOLE pipelined accuracy gap. So
-        # host-solved tracking re-matches lagged frames by default
-        # (SUPERSLAM_FORCE_REMATCH=0 restores rescue-only, one matcher call
-        # saved per lagged frame). Device-solved tracking keeps rescue-only:
-        # its pose was solved in-program against the lagged keyframe, and
-        # the zero-lag fix there is in-program keyframe promotion, not a
-        # host re-match that would discard the device solve.
+        # host-solved tracking re-matches lagged frames by default, FIRST
+        # (the lagged attempt's LM would be discarded whenever the re-match
+        # succeeds, which is the measured common case), falling back to the
+        # lagged matches only when the re-match solve coasts.
+        # SUPERSLAM_FORCE_REMATCH=0 restores rescue-only (one matcher call
+        # saved per lagged frame, 3x the ATE). Device-solved tracking keeps
+        # rescue-only: its pose was solved in-program against the lagged
+        # keyframe, and the zero-lag fix there is in-program keyframe
+        # promotion, not a host re-match that would discard the device
+        # solve. Rescue rationale either way: repetitive texture aliases
+        # the matcher harder the wider the baseline (measured: the same
+        # frame that gets 45% geometrically-consistent matches against a
+        # 4-frame-old keyframe gets healthy matches against the newest one).
         force_rematch = env_flag("SUPERSLAM_FORCE_REMATCH", device_pose is None)
-        if (
-            (res["coast"] or force_rematch)
-            and kf is not self._last_keyframe
-            and n > 0
-        ):
-            # Lag-amplification rescue: the precomputed device matches refer
-            # to a keyframe up to depth*batch insertions old, and repetitive
-            # texture aliases the matcher harder the wider the baseline
-            # (measured on the rendered circuit: the same frame that gets
-            # 45% geometrically-consistent matches against a 4-frame-old
-            # keyframe gets healthy matches against the newest one — the
-            # sync path, which always matches the newest, never saw these
-            # frames).
+        lagged = kf is not self._last_keyframe and n > 0
+        res = None
+        if not (force_rematch and lagged):
+            res = _attempt(kf, kf_f2l, m, device_pose)
+        if lagged and (res is None or res["coast"]):
             with profile_scope("vo_lg_track_match"):
                 m2 = self.matcher.match(
                     self._last_keyframe.keypoints_left,
@@ -453,6 +455,11 @@ class VoEstimator:
                 kf = self._last_keyframe
                 kf_f2l = self._last_kf_feature_to_landmark
                 match_src = "rematch-cur"
+        if res is None:
+            # Force mode and the re-match coasted: fall back to the lagged
+            # attempt (it may still explain the frame; both coasting is the
+            # genuine coast case either way).
+            res = _attempt(kf, kf_f2l, m, device_pose)
 
         n_matches = res["n"]
         frame_matched_landmark = res["fml"]

@@ -195,21 +195,28 @@ class PipelinedStereoTracker:
         # must not be adopted under that id.
         self._kf_dirty = False
         if self.device_tracking:
+            from ..utils.env import env_float
+
             s = _track_statics(pipeline.calib)
             self._trk_calib = s["calib"]
             self._trk_min_matches = s["min_matches"]
             self._trk_sigma_px = s["sigma_px"]
             self._trk_disp_sigma0 = s["disp_sigma0"]
             self._trk_disp_cond = s["disp_cond"]
-        if self.device_kf:
-            from ..utils.env import env_float
-
+            # kf-gate statics are defined for ALL device-tracking trackers
+            # (not only device_kf): bench.py's device-only section reads
+            # them to build the kf program regardless of which mode the
+            # measured run ended up in.
             self._kf_accept_frac = env_float("SUPERSLAM_TRACK_ACCEPT_FRAC", 0.4)
             self._kf_support_px = 2.0 * env_float("SUPERSLAM_TRACK_CHI2_PX", 2.0)
             self._kf_covis = env_float(
                 "SUPERSLAM_KF_COVIS", estimator._covisibility_ratio
             )
             self._kf_max_frames = int(estimator._max_keyframe_frames)
+        # Set once the kf program has compiled+run successfully: later
+        # dispatch errors are then transient (relay weather) and must
+        # propagate like any other dispatch error, not trigger fallback.
+        self._kf_compiled = False
         # In-flight frames can lag up to depth*batch insertions behind the
         # newest keyframe; retain enough keyframes that their precomputed
         # matches stay resolvable (an eviction forces a host re-match, which
@@ -312,6 +319,10 @@ class PipelinedStereoTracker:
             self._seed_kf_state()
         used_kf_program = False
         if self.device_kf and self._kf_state is not None:
+            from ..core.keyframe_gate import (
+                MIN_FRAMES_DEFAULT,
+                MIN_MATCHES_DEFAULT,
+            )
             from ..ops.frontend_step import fused_stereo_track_kf_step_multi
 
             if self._carry is None or self._carry_stale:
@@ -342,12 +353,13 @@ class PipelinedStereoTracker:
                     disp_cond=self._trk_disp_cond,
                     accept_frac=self._kf_accept_frac,
                     support_px=self._kf_support_px,
-                    kf_min_frames=2,
+                    kf_min_frames=MIN_FRAMES_DEFAULT,
                     kf_max_frames=self._kf_max_frames,
-                    kf_min_matches=30,
+                    kf_min_matches=MIN_MATCHES_DEFAULT,
                     covis_ratio=self._kf_covis,
                 )
                 used_kf_program = True
+                self._kf_compiled = True
                 pose_fut = _AsyncPose(track_out)
                 if n_real < self.batch:
                     # Duplicate flush-tail frames ran the scan: both the
@@ -357,6 +369,12 @@ class PipelinedStereoTracker:
                     self._carry_stale = True
                     self._kf_state = None
             except Exception as e:  # pragma: no cover - backend-specific
+                if self._kf_compiled:
+                    # The program has compiled and run on this backend:
+                    # this error is transient (relay weather) or a real
+                    # bug — either way it must propagate, not silently
+                    # degrade accuracy for the rest of the run.
+                    raise
                 # A compiler failure on an untested backend must degrade,
                 # not kill tracking: fall back permanently to the
                 # dispatch-frozen keyframe program for this run (keyframe
@@ -364,9 +382,10 @@ class PipelinedStereoTracker:
                 import logging
 
                 logging.getLogger("superslam").warning(
-                    "device-kf program failed to compile/run (%s); falling "
-                    "back to dispatch-frozen keyframe tracking",
+                    "device-kf program failed to compile (%s: %.500s); "
+                    "falling back to dispatch-frozen keyframe tracking",
                     type(e).__name__,
+                    e,
                 )
                 self.device_kf = False
                 self._kf_state = None

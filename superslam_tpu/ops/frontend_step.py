@@ -52,29 +52,19 @@ PACK_ROWS = 4
 PACK_SCALE = 16.0  # 1/16 px fixed point in the int16 readback
 
 
-def _frontend_core(
+def _superpoint_stereo_features(
     sp_params,
-    lg_params,
     images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, L1, R1, ...], padded
-    kf_kpts: jnp.ndarray,  # (K, 2) f32 pixel coords of the last keyframe
-    kf_desc: jnp.ndarray,  # (K, D)
-    kf_valid: jnp.ndarray,  # (K,) bool
     max_keypoints: int,
     keypoint_threshold: float,
     remove_borders: int,
     nms_radius: int,
     true_width: int,
     true_height: int,
-    min_disparity: float,
-    match_threshold: float,
 ):
-    """Shared trace: extraction + stereo/track matching + stereo gates.
-
-    Returns (kl (S,K,2), dl (S,K,D), vl (S,K), disparity (S,K),
-    stereo_ok (S,K), track_m (S,K)) — everything both the packing step and
-    the on-device pose solve consume.
-    """
-    S = images_u8.shape[0] // 2
+    """SuperPoint over the interleaved L/R batch + top-K selection + L/R
+    split + LightGlue-frame normalization — the shared front half of every
+    fused stereo program. Returns (kl, kr, dl, dr, vl, vr, nkl, nkr)."""
     images = images_u8.astype(jnp.float32) / 255.0
     # Sub-pixel peaks (env-gated, default on): disparity noise converts to
     # depth noise as Z^2/(fx*b) per px, so the refinement directly tightens
@@ -102,6 +92,56 @@ def _frontend_core(
     center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
     nkl = (kl - center) / scale
     nkr = (kr - center) / scale
+    return kl, kr, dl, dr, vl, vr, nkl, nkr
+
+
+def _stereo_gates(kl, kr, vl, stereo_m, min_disparity: float):
+    """Stereo gates on device (StereoFrontEnd.cc:35-46): disparity floor
+    and rectified-row check. Returns (disparity (S,K), stereo_ok (S,K))."""
+    j = jnp.maximum(stereo_m, 0)
+    uR = jnp.take_along_axis(kr[..., 0], j, axis=1)
+    vR = jnp.take_along_axis(kr[..., 1], j, axis=1)
+    disparity = kl[..., 0] - uR
+    row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
+    stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
+    return disparity, stereo_ok
+
+
+def _frontend_core(
+    sp_params,
+    lg_params,
+    images_u8: jnp.ndarray,  # (2S, H, W) uint8 [L0, R0, L1, R1, ...], padded
+    kf_kpts: jnp.ndarray,  # (K, 2) f32 pixel coords of the last keyframe
+    kf_desc: jnp.ndarray,  # (K, D)
+    kf_valid: jnp.ndarray,  # (K,) bool
+    max_keypoints: int,
+    keypoint_threshold: float,
+    remove_borders: int,
+    nms_radius: int,
+    true_width: int,
+    true_height: int,
+    min_disparity: float,
+    match_threshold: float,
+):
+    """Shared trace: extraction + stereo/track matching + stereo gates.
+
+    Returns (kl (S,K,2), dl (S,K,D), vl (S,K), disparity (S,K),
+    stereo_ok (S,K), track_m (S,K)) — everything both the packing step and
+    the on-device pose solve consume.
+    """
+    S = images_u8.shape[0] // 2
+    kl, kr, dl, dr, vl, vr, nkl, nkr = _superpoint_stereo_features(
+        sp_params,
+        images_u8,
+        max_keypoints,
+        keypoint_threshold,
+        remove_borders,
+        nms_radius,
+        true_width,
+        true_height,
+    )
+    scale = max(true_width, true_height) / 2.0
+    center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
     nkf = (kf_kpts - center) / scale
 
     # 2S pair problems in one LightGlue forward: S stereo matches (L_s, R_s)
@@ -123,20 +163,11 @@ def _frontend_core(
     t_desc = jnp.concatenate([dr, dl], axis=0)
     t_valid = jnp.concatenate([vr, vl], axis=0)
     la = lightglue_forward(lg_params, q_kpts, q_desc, t_kpts, t_desc, q_valid, t_valid)
-    matches, mscores = extract_matches(la, q_valid, t_valid, match_threshold)
+    matches, _mscores = extract_matches(la, q_valid, t_valid, match_threshold)
     stereo_m = matches[:S]  # (S, K)
-    track_m, track_s = matches[S:], mscores[S:]
+    track_m = matches[S:]  # match confidence is not consumed downstream
 
-    # Stereo gates on device (StereoFrontEnd.cc:35-46): disparity floor and
-    # rectified-row check.
-    j = jnp.maximum(stereo_m, 0)
-    uR = jnp.take_along_axis(kr[..., 0], j, axis=1)
-    vR = jnp.take_along_axis(kr[..., 1], j, axis=1)
-    disparity = kl[..., 0] - uR
-    row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
-    stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
-
-    del track_s  # match confidence is not consumed downstream
+    disparity, stereo_ok = _stereo_gates(kl, kr, vl, stereo_m, min_disparity)
     return kl, dl, vl, disparity, stereo_ok, track_m
 
 
@@ -557,45 +588,24 @@ def _extract_stereo(
     match_threshold: float,
 ):
     """Extraction + stereo matching WITHOUT the keyframe track match: the
-    front half of _frontend_core for programs that match against a keyframe
-    carried inside their own scan (track_kf_scan). Returns
+    front half of _frontend_core (shared via _superpoint_stereo_features /
+    _stereo_gates) for programs that match against a keyframe carried
+    inside their own scan (track_kf_scan). Returns
     (kl (S,K,2) px, nkl (S,K,2) normalized, dl (S,K,D), vl (S,K),
     disparity (S,K), stereo_ok (S,K))."""
-    S = images_u8.shape[0] // 2
-    images = images_u8.astype(jnp.float32) / 255.0
-    subpixel = env_flag("SUPERSLAM_SP_SUBPIXEL", True)
-    out = superpoint_dense(
-        sp_params, images, nms_radius=nms_radius, return_pre_nms=subpixel
-    )
-    scores, grid = out[0], out[1]
-    kpts, kp_scores, valid, desc = select_keypoints(
-        scores,
-        grid,
+    kl, kr, dl, dr, vl, vr, nkl, nkr = _superpoint_stereo_features(
+        sp_params,
+        images_u8,
         max_keypoints,
         keypoint_threshold,
         remove_borders,
+        nms_radius,
         true_width,
         true_height,
-        raw_scores=out[2] if subpixel else None,
     )
-    kl, kr = kpts[0::2], kpts[1::2]  # (S, K, 2)
-    dl, dr = desc[0::2], desc[1::2]
-    vl, vr = valid[0::2], valid[1::2]
-
-    scale = max(true_width, true_height) / 2.0
-    center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
-    nkl = (kl - center) / scale
-    nkr = (kr - center) / scale
-
     la = lightglue_forward(lg_params, nkl, dl, nkr, dr, vl, vr)
     stereo_m, _ = extract_matches(la, vl, vr, match_threshold)
-
-    j = jnp.maximum(stereo_m, 0)
-    uR = jnp.take_along_axis(kr[..., 0], j, axis=1)
-    vR = jnp.take_along_axis(kr[..., 1], j, axis=1)
-    disparity = kl[..., 0] - uR
-    row_ok = jnp.abs(kl[..., 1] - vR) <= 2.0
-    stereo_ok = (stereo_m >= 0) & (disparity >= min_disparity) & row_ok & vl
+    disparity, stereo_ok = _stereo_gates(kl, kr, vl, stereo_m, min_disparity)
     return kl, nkl, dl, vl, disparity, stereo_ok
 
 

@@ -141,6 +141,160 @@ def test_device_kf_promotions_lockstep(setup, low_floor):
     )
 
 
+def test_track_kf_scan_matches_host_oracle():
+    """Numeric parity of the in-scan accept rule, keyframe gate, and
+    promotion world-point grounding against the host oracles, on EXACT
+    synthetic geometry (the structural tests above can't judge numbers —
+    random weights track too poorly). Identical descriptor sets force the
+    passthrough matcher to the identity assignment, so every quantity is
+    predictable: solved poses == true poses, support == n, the gate must
+    equal core.keyframe_gate.should_insert_keyframe frame-by-frame, and
+    the promoted keyframe's world points must equal the true world points
+    (grounding through the accepted solve)."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.core.keyframe_gate import should_insert_keyframe
+    from superslam_tpu.ops.frontend_step import TRACK_KF_COLS, track_kf_scan
+
+    K, D = 128, 256
+    fx = fy = 100.0
+    cx, cy = 64.0, 48.0
+    b = 0.3
+    Wd, Hd = 128, 96
+    rng = np.random.default_rng(7)
+
+    # World points: sampled on frame-0's pixel grid at depths 4-10 m, then
+    # held fixed; camera slides sideways+forward 0.05 m/frame (identity R:
+    # rotation is covered by the solver tests; this pins gate/promotion).
+    uL0 = rng.uniform(10, Wd - 10, K)
+    v0 = rng.uniform(10, Hd - 10, K)
+    Z0 = rng.uniform(4.0, 10.0, K)
+    Xw = np.stack(
+        [(uL0 - cx) * Z0 / fx, (v0 - cy) * Z0 / fy, Z0], axis=1
+    )
+    S = 4  # tracked frames (frame 0 is the seeded keyframe)
+    t_true = [np.array([0.05 * s, 0.0, 0.03 * s]) for s in range(S + 1)]
+
+    def project(t):
+        p = Xw - t  # R = I
+        uL = fx * p[:, 0] / p[:, 2] + cx
+        v = fy * p[:, 1] / p[:, 2] + cy
+        disp = fx * b / p[:, 2]
+        return uL, v, disp
+
+    kl = np.zeros((S, K, 2), np.float32)
+    disp = np.zeros((S, K), np.float32)
+    for s in range(S):
+        uL, v, d = project(t_true[s + 1])
+        kl[s, :, 0], kl[s, :, 1], disp[s] = uL, v, d
+    ok = np.ones((S, K), bool)
+    ok[3] = False  # frame 4: stereo gates all fail -> n=0 -> coast
+    valid = np.ones((S, K), bool)
+
+    # Identical L2-normalized descriptors on both sides -> passthrough
+    # mutual-NN is the identity assignment.
+    desc = rng.normal(0, 1, (K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    dl = np.broadcast_to(desc, (S, K, D)).copy()
+
+    scale = max(Wd, Hd) / 2.0
+    center = np.array([Wd / 2.0, Hd / 2.0], np.float32)
+    nkl = (kl - center) / scale
+
+    uLk, vk, dk = project(t_true[0])
+    kf_nk = ((np.stack([uLk, vk], 1) - center) / scale).astype(np.float32)
+    kf_state = (
+        jnp.asarray(kf_nk),
+        jnp.asarray(desc),
+        jnp.ones((K,), bool),
+        jnp.asarray(Xw, jnp.float32),
+        jnp.ones((K,), bool),
+        jnp.zeros((), jnp.int32),
+    )
+    pose_carry = (
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+    )
+    from superslam_tpu.models.lightglue import init_lightglue_params
+
+    lg_params = init_lightglue_params(0, passthrough=True)
+
+    gate_kw = dict(
+        covis_ratio=2.0,  # ratio is always < 2 -> gate rides min_frames only
+        kf_min_frames=2,
+        kf_max_frames=99,
+        kf_min_matches=30,
+    )
+    track_out, track_m, kf2, carry2 = track_kf_scan(
+        lg_params,
+        jnp.asarray(kl), jnp.asarray(nkl), jnp.asarray(dl),
+        jnp.asarray(valid), jnp.asarray(disp), jnp.asarray(ok),
+        kf_state, pose_carry,
+        calib=(fx, fy, cx, cy, b),
+        min_matches=10,
+        track_sigma_px=10.0,
+        disp_sigma0=8.0,
+        disp_cond=fx * b / 40.0,
+        match_threshold=0.1,
+        accept_frac=0.4,
+        support_px=4.0,
+        track_iters=20,
+        **gate_kw,
+    )
+    track_out = np.asarray(track_out)
+    track_m = np.asarray(track_m)
+    assert track_out.shape == (S, TRACK_KF_COLS)
+
+    # Identity assignment from the passthrough matcher on valid frames.
+    np.testing.assert_array_equal(track_m[0], np.arange(K))
+
+    n_col, sup_col, acc_col, promo_col = 12, 13, 14, 15
+    # Frames 1-3 solve exactly; frame 4 has zero usable matches and coasts.
+    assert (track_out[:3, acc_col] == 1.0).all()
+    assert track_out[3, acc_col] == 0.0
+    np.testing.assert_array_equal(track_out[:3, n_col], [K, K, K])
+    assert track_out[3, n_col] == 0
+    # Exact geometry: every match reprojects within support_px.
+    np.testing.assert_array_equal(track_out[:3, sup_col], [K, K, K])
+
+    # Gate parity with the host oracle, frame by frame (promotion resets
+    # the counter exactly like VoEstimator._insert_keyframe).
+    since = 0
+    for s in range(S):
+        since += 1
+        n_s = int(track_out[s, n_col])
+        coast_s = track_out[s, acc_col] == 0.0
+        want = (not coast_s) and should_insert_keyframe(
+            n_s, K, since, gate_kw["covis_ratio"], gate_kw["kf_max_frames"]
+        )
+        got = bool(track_out[s, promo_col])
+        assert got == want, f"frame {s}: promo {got} != host gate {want}"
+        if got:
+            since = 0
+    assert list(track_out[:, promo_col]) == [0.0, 1.0, 0.0, 0.0]
+
+    # Solved poses == true poses (exact data, f32 LM).
+    for s in range(3):
+        t_s = track_out[s, 9:12]
+        np.testing.assert_allclose(t_s, t_true[s + 1], atol=2e-3)
+        np.testing.assert_allclose(
+            track_out[s, :9].reshape(3, 3), np.eye(3), atol=2e-3
+        )
+    # Coasted frame 4: constant-velocity prediction from frame 3's carry.
+    rel = t_true[3] - t_true[2]
+    np.testing.assert_allclose(track_out[3, 9:12], t_true[3] + rel, atol=5e-3)
+
+    # Promotion grounding: frame 2 became the keyframe; its carried world
+    # points must equal the TRUE world points (backprojection through the
+    # accepted solve) wherever depth was valid.
+    kf_xw2 = np.asarray(kf2[3])
+    np.testing.assert_allclose(kf_xw2, Xw, atol=2e-2)
+    # And the carried depth mask/valid mask are frame 2's.
+    assert np.asarray(kf2[4]).all()
+
+
 def test_device_kf_compile_failure_falls_back(setup, low_floor, monkeypatch):
     """A compiler failure in the kf-promotion program (untested backend,
     Mosaic fragility) must degrade to the dispatch-frozen keyframe program,
