@@ -88,9 +88,13 @@ def main() -> None:
     # ATE 4.5 m stationary-estimate failure vs 0.1-0.3 m with the
     # render-trained weights on the same 150-frame circuit).
     ap.add_argument("--sp-weights", default="superpoint_render.safetensors")
+    # Default to the synthetically-trained LightGlue checkpoint: the real
+    # transformer matcher beats the analytic passthrough on the rendered
+    # circuit (ATE 0.068 vs 0.103 m, measured 2026-08-18) — the full model
+    # stack is the accuracy-default; __passthrough__ remains the ablation.
     ap.add_argument(
         "--lg-weights",
-        default="__passthrough__",
+        default="lightglue_synth.safetensors",
         help="lightglue checkpoint name in model_dir, or __passthrough__ "
         "for the analytic mutual-NN matcher (no checkpoint needed)",
     )
