@@ -505,6 +505,18 @@ class PipelinedStereoTracker:
                     kf_ref = None
             elif item.kf_ref_id is not None:
                 device_pose = _decode_device_pose(item.pose.result()[item.slot])
+        if self.device_kf and device_promote is None:
+            # Stale/bootstrap frame while the zero-lag mode is ACTIVE: it
+            # tracks through the host re-match path, but it must NOT run
+            # the host keyframe gate — a host-initiated insertion orphans
+            # every in-flight frame (epoch bump), and at keyframe cadences
+            # shorter than the pipeline depth the orphaning cascades until
+            # 100% of frames drain stale (measured on the rendered circuit:
+            # the devkf leg silently became the host path). Insertion
+            # authority stays with the in-program gate on the next
+            # epoch-valid frame. (The FIRST keyframe is unaffected:
+            # _init_first_keyframe runs before any gate.)
+            device_promote = False
         provider = None
         if self.loop_descriptor_fn is not None and item.left_dev is not None:
             fn, dev = self.loop_descriptor_fn, item.left_dev

@@ -295,6 +295,43 @@ def test_track_kf_scan_matches_host_oracle():
     assert np.asarray(kf2[4]).all()
 
 
+def test_device_kf_stays_engaged_at_dense_keyframe_cadence(setup, low_floor):
+    """Regression: a host-initiated insertion orphans every in-flight frame
+    (epoch bump); when the keyframe cadence is shorter than the pipeline
+    depth, orphaned frames re-inserting through the HOST gate cascaded
+    until 100% of frames drained through the host path (the devkf accuracy
+    leg silently measured host tracking). Stale frames must not run the
+    host gate; after bootstrap, the device path must carry the run."""
+    calib, sp, lg, matcher, seq = setup
+
+    fused = _pipeline(setup)
+    est = VoEstimator(matcher, calib, window_size=4)
+    # Aggressive covisibility: insert on nearly every frame — cadence well
+    # under the depth*batch in-flight window.
+    est._covisibility_ratio = 0.95
+    tracker = PipelinedStereoTracker(fused, est, depth=3, device_tracking=True)
+    device_frames = []
+    orig = est.track
+
+    def spy(frame, *a, **kw):
+        device_frames.append(kw.get("device_accept") is not None)
+        return orig(frame, *a, **kw)
+
+    est.track = spy
+    seq2 = seq + seq[::-1]  # 24 frames: there and back
+    for i, (l, r) in enumerate(seq2):
+        tracker.track(l, r, 0.1 * i)
+    tracker.flush()
+
+    assert tracker.device_kf  # never fell back
+    # Bootstrap (first keyframe + frames in flight at that moment) drains
+    # host-side; everything after must be device-driven.
+    tail = device_frames[6:]
+    assert sum(tail) >= 0.8 * len(tail), (
+        f"device path disengaged: {device_frames}"
+    )
+
+
 def test_device_kf_compile_failure_falls_back(setup, low_floor, monkeypatch):
     """A compiler failure in the kf-promotion program (untested backend,
     Mosaic fragility) must degrade to the dispatch-frozen keyframe program,
