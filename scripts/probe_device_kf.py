@@ -17,9 +17,13 @@ Usage:  timeout 900 python scripts/probe_device_kf.py [--width 1241 ...]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -43,7 +47,10 @@ def main() -> None:
     from superslam_tpu.frontend.extractor import pad_to_multiple
     from superslam_tpu.models.lightglue import init_lightglue_params
     from superslam_tpu.models.superpoint import init_superpoint_params
-    from superslam_tpu.ops.frontend_step import fused_stereo_track_kf_step_multi
+    from superslam_tpu.ops.frontend_step import (
+        fused_stereo_track_kf_step_multi,
+        fused_stereo_track_step_multi,
+    )
     from superslam_tpu.ops.pallas.lightglue_layer import (
         augment_fused_layer_params,
     )
@@ -74,46 +81,72 @@ def main() -> None:
         kf_min_matches=MIN_MATCHES_DEFAULT, covis_ratio=0.3,
     )
 
-    t0 = time.perf_counter()
-    out = fused_stereo_track_kf_step_multi(
-        sp, lg, imgs, kf0, (eye, zero, eye, zero), **common
-    )
-    np.asarray(out[0])
-    print(f"single dispatch compile+run: {time.perf_counter() - t0:.1f} s "
-          f"(packed {out[0].shape}, track_out {out[4].shape})")
+    trk_common = {
+        k: v for k, v in common.items()
+        if k not in (
+            "accept_frac", "support_px", "kf_min_frames", "kf_max_frames",
+            "kf_min_matches", "covis_ratio",
+        )
+    }
 
-    def prog(iters):
-        @jax.jit
-        def run(images):
-            def body(c, _):
-                im, kf, carry = c
-                packed, _d, _k, _v, _t, kf, carry = (
-                    fused_stereo_track_kf_step_multi(
-                        sp, lg, im, kf, carry, **common
-                    )
+    def step_nokf(im, kf, carry):
+        packed, _d, _k, _v, _t, carry = fused_stereo_track_step_multi(
+            sp, lg, im, kf0[0], kf0[1], kf0[2], kf0[3], kf0[4],
+            *carry, **trk_common
+        )
+        return packed, kf, carry
+
+    def step_kf(hybrid):
+        def f(im, kf, carry):
+            packed, _d, _k, _v, _t, kf, carry = (
+                fused_stereo_track_kf_step_multi(
+                    sp, lg, im, kf, carry, hybrid=hybrid, **common
                 )
-                nxt = (
-                    jnp.roll(im, 1, axis=2) + packed[0, 0].astype(jnp.uint8)
-                ).astype(jnp.uint8)
-                return (nxt, kf, carry), packed[0, 1]
-            _, outs = lax.scan(
-                body, (images, kf0, (eye, zero, eye, zero)), None, length=iters
             )
-            return outs.reshape(iters, 1)
-        return run
+            return packed, kf, carry
+        return f
 
-    lo, hi = 3, 12
-    run_lo, run_hi = prog(lo), prog(hi)
-    np.asarray(run_lo(imgs)); np.asarray(run_hi(imgs))
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter(); np.asarray(run_lo(imgs))
-        tlo = time.perf_counter() - t0
-        t0 = time.perf_counter(); np.asarray(run_hi(imgs))
-        thi = time.perf_counter() - t0
-        samples.append((thi - tlo) / (hi - lo) * 1e3 / S)
-    print(f"device-only per frame: {min(samples):.2f} ms "
-          f"(samples {[round(s, 2) for s in samples]})")
+    legs = [
+        ("hybrid", step_kf(True)),
+        ("rematch-always (r3)", step_kf(False)),
+        ("nokf track (r2 dispatch-frozen)", step_nokf),
+    ]
+    for tag, step in legs:
+        t0 = time.perf_counter()
+        out = step(imgs, kf0, (eye, zero, eye, zero))
+        np.asarray(out[0])
+        print(f"[{tag}] single dispatch compile+run: "
+              f"{time.perf_counter() - t0:.1f} s (packed {out[0].shape})")
+
+        def prog(iters, step=step):
+            @jax.jit
+            def run(images):
+                def body(c, _):
+                    im, kf, carry = c
+                    packed, kf, carry = step(im, kf, carry)
+                    nxt = (
+                        jnp.roll(im, 1, axis=2) + packed[0, 0].astype(jnp.uint8)
+                    ).astype(jnp.uint8)
+                    return (nxt, kf, carry), packed[0, 1]
+                _, outs = lax.scan(
+                    body, (images, kf0, (eye, zero, eye, zero)), None,
+                    length=iters,
+                )
+                return outs.reshape(iters, 1)
+            return run
+
+        lo, hi = 3, 12
+        run_lo, run_hi = prog(lo), prog(hi)
+        np.asarray(run_lo(imgs)); np.asarray(run_hi(imgs))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter(); np.asarray(run_lo(imgs))
+            tlo = time.perf_counter() - t0
+            t0 = time.perf_counter(); np.asarray(run_hi(imgs))
+            thi = time.perf_counter() - t0
+            samples.append((thi - tlo) / (hi - lo) * 1e3 / S)
+        print(f"[{tag}] device-only per frame: {min(samples):.2f} ms "
+              f"(samples {[round(s, 2) for s in samples]})")
 
 
 if __name__ == "__main__":

@@ -122,12 +122,17 @@ def _frontend_core(
     true_height: int,
     min_disparity: float,
     match_threshold: float,
+    kf_prenormalized: bool = False,
 ):
     """Shared trace: extraction + stereo/track matching + stereo gates.
 
-    Returns (kl (S,K,2), dl (S,K,D), vl (S,K), disparity (S,K),
+    Returns (kl (S,K,2), nkl (S,K,2), dl (S,K,D), vl (S,K), disparity (S,K),
     stereo_ok (S,K), track_m (S,K)) — everything both the packing step and
     the on-device pose solve consume.
+
+    kf_prenormalized=True means kf_kpts is already in the LightGlue
+    normalized frame (the device keyframe carry stores normalized coords —
+    pixel coords never ride the carry).
     """
     S = images_u8.shape[0] // 2
     kl, kr, dl, dr, vl, vr, nkl, nkr = _superpoint_stereo_features(
@@ -142,7 +147,7 @@ def _frontend_core(
     )
     scale = max(true_width, true_height) / 2.0
     center = jnp.array([true_width / 2.0, true_height / 2.0], jnp.float32)
-    nkf = (kf_kpts - center) / scale
+    nkf = kf_kpts if kf_prenormalized else (kf_kpts - center) / scale
 
     # 2S pair problems in one LightGlue forward: S stereo matches (L_s, R_s)
     # and S track matches (KF, L_s). The transformer weights are read once.
@@ -168,7 +173,7 @@ def _frontend_core(
     track_m = matches[S:]  # match confidence is not consumed downstream
 
     disparity, stereo_ok = _stereo_gates(kl, kr, vl, stereo_m, min_disparity)
-    return kl, dl, vl, disparity, stereo_ok, track_m
+    return kl, nkl, dl, vl, disparity, stereo_ok, track_m
 
 
 def _pack(kl, vl, disparity, stereo_ok, track_m):
@@ -227,7 +232,7 @@ def fused_stereo_step_multi(
     — every frame's track-match refers to the same keyframe state (the
     estimator resolves lagged references).
     """
-    kl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
+    kl, _nkl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
         sp_params,
         lg_params,
         images_u8,
@@ -333,7 +338,7 @@ def fused_stereo_track_step_multi(
         "(K, 3) keyframe world points have no per-sequence axis (use "
         "fused_stereo_step_multi + host solves for multi-sequence batches)"
     )
-    kl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
+    kl, _nkl, dl, vl, disparity, stereo_ok, track_m = _frontend_core(
         sp_params,
         lg_params,
         images_u8,
@@ -640,6 +645,7 @@ def track_kf_scan(
     gate_px: float | None = None,
     chi2_px: float | None = None,
     chi2_rounds: int | None = None,
+    track_m0=None,  # (S, K) int32 batched matches vs the ENTRY keyframe
 ):
     """Zero-lag on-device tracking: the KEYFRAME LIVES IN THE SCAN CARRY.
 
@@ -671,6 +677,20 @@ def track_kf_scan(
     Stereo-only: RGB-D promotion would need frame-side depth, which never
     visits the device (ops.rgbd_step docstring).
 
+    SPECULATIVE HYBRID (track_m0 is not None): the caller already matched
+    every frame against the scan's ENTRY keyframe in one batched LightGlue
+    forward (2S pairs, amortized with the stereo match — _frontend_core).
+    Those speculative matches are exact until the first in-scan promotion;
+    only frames AFTER a promotion within this dispatch re-run the
+    serialized pair-batch-1 forward, under a ``lax.cond`` so the compiled
+    program skips it at runtime on non-promotion frames. At keyframe
+    cadences of ~10 frames and dispatch batch S<=4 that removes ~80-100%
+    of the in-scan forwards the original zero-lag design paid on EVERY
+    frame (round-3 measured cost: ~1.3 ms/frame of device budget), while
+    matching stays zero-lag: a frame matches a stale keyframe only if the
+    promotion happened in a frame this same dispatch already processed,
+    and exactly those frames take the re-match branch.
+
     Returns (track_out (S, TRACK_KF_COLS) f32, track_m (S, K) int32,
     new_kf_state, new_pose_carry).
     """
@@ -687,21 +707,45 @@ def track_kf_scan(
     inv_sig_uLv = jnp.float32(1.0 / track_sigma_px)
     fx, fy, cx, cy, baseline = calib
 
-    def step(c, per_frame):
-        R_prev, t_prev, Rr, tr, kf_nk, kf_d, kf_v, kf_xw, kf_dok, since = c
-        kl_s, nkl_s, dl_s, vl_s, disp_s, sok_s = per_frame
+    hybrid = track_m0 is not None
 
-        la = lightglue_forward(
-            lg_params,
-            kf_nk[None],
-            kf_d[None],
-            nkl_s[None],
-            dl_s[None],
-            kf_v[None],
-            vl_s[None],
-        )
-        tm, _ = extract_matches(la, kf_v[None], vl_s[None], match_threshold)
-        tm_s = tm[0]
+    def step(c, per_frame):
+        if hybrid:
+            (R_prev, t_prev, Rr, tr, kf_nk, kf_d, kf_v, kf_xw, kf_dok,
+             since, fresh) = c
+            kl_s, nkl_s, dl_s, vl_s, disp_s, sok_s, tm0_s = per_frame
+        else:
+            R_prev, t_prev, Rr, tr, kf_nk, kf_d, kf_v, kf_xw, kf_dok, since = c
+            kl_s, nkl_s, dl_s, vl_s, disp_s, sok_s = per_frame
+
+        def _rematch():
+            la = lightglue_forward(
+                lg_params,
+                kf_nk[None],
+                kf_d[None],
+                nkl_s[None],
+                dl_s[None],
+                kf_v[None],
+                vl_s[None],
+            )
+            tm, _ = extract_matches(
+                la, kf_v[None], vl_s[None], match_threshold
+            )
+            return tm[0]
+
+        if hybrid and kl.shape[0] == 1:
+            # S=1: the cond is dead code — a promotion can only go stale
+            # for LATER frames of the same dispatch, and there are none;
+            # the next dispatch's batched forward sees the promoted carry.
+            # Dropping it removes the second (pair-batch-1) LightGlue
+            # program from the executable entirely.
+            tm_s = tm0_s
+        elif hybrid:
+            # The batched speculative match is valid while the carried
+            # keyframe is still the one the dispatch-time forward saw.
+            tm_s = jax.lax.cond(fresh, lambda: tm0_s, _rematch)
+        else:
+            tm_s = _rematch()
 
         R_pred = R_prev @ Rr
         t_pred = R_prev @ tr + t_prev
@@ -793,13 +837,17 @@ def track_kf_scan(
             kf_dok2,
             since2,
         )
+        if hybrid:
+            new_c = new_c + (fresh & jnp.logical_not(promo),)
         return new_c, (row, tm_s)
 
+    xs = (kl, nkl, dl, vl, disparity, stereo_ok)
     carry0 = pose_carry + kf_state
-    new_carry, (track_out, track_m) = jax.lax.scan(
-        step, carry0, (kl, nkl, dl, vl, disparity, stereo_ok)
-    )
-    return track_out, track_m, new_carry[4:], new_carry[:4]
+    if hybrid:
+        xs = xs + (track_m0,)
+        carry0 = carry0 + (jnp.array(True),)
+    new_carry, (track_out, track_m) = jax.lax.scan(step, carry0, xs)
+    return track_out, track_m, new_carry[4:10], new_carry[:4]
 
 
 @functools.partial(
@@ -825,6 +873,7 @@ def track_kf_scan(
         "kf_min_matches",
         "covis_ratio",
         "track_iters",
+        "hybrid",
     ),
 )
 def fused_stereo_track_kf_step_multi(
@@ -853,29 +902,64 @@ def fused_stereo_track_kf_step_multi(
     kf_min_matches: int,
     covis_ratio: float,
     track_iters: int = 20,
+    hybrid: bool | None = None,
 ):
     """fused_stereo_track_step_multi with ZERO-LAG keyframe promotion: the
-    keyframe state rides the scan carry (track_kf_scan docstring), so the
-    KF<->frame LightGlue forward moves inside the per-frame scan (the S
-    stereo matches stay batched in one forward — _extract_stereo). Extra
-    device cost is the serialized track forwards; extra readback is 3 f32
-    per frame; the per-insertion keyframe feature/world uploads disappear.
+    keyframe state rides the scan carry (track_kf_scan docstring).
+
+    hybrid=True (the default, SUPERSLAM_DEVICE_KF_HYBRID): the KF<->frame
+    match runs BATCHED with the stereo match in one 2S-pair LightGlue
+    forward against the scan's entry keyframe (the device carry feeds
+    _frontend_core directly — no host involvement), and the serialized
+    in-scan forward survives only behind a ``lax.cond`` for frames that
+    follow an intra-dispatch promotion. At S=1 the in-scan forward never
+    executes at all — promotion updates the carry and the NEXT dispatch's
+    batched forward sees the new keyframe, which is already zero-lag.
+    Round 3 paid that serialized forward on every frame (~1.3 ms/frame,
+    device-only 2.6 -> 3.9 ms); the hybrid wins it back.
+
+    hybrid=False: the round-3 behavior (every frame re-matches in-scan).
+
+    Extra readback stays 3 f32 per frame; the per-insertion keyframe
+    feature/world uploads stay gone.
 
     Returns (packed, dl, kl, vl, track_out (S, TRACK_KF_COLS),
     new_kf_state, new_pose_carry)."""
-    kl, nkl, dl, vl, disparity, stereo_ok = _extract_stereo(
-        sp_params,
-        lg_params,
-        images_u8,
-        max_keypoints,
-        keypoint_threshold,
-        remove_borders,
-        nms_radius,
-        true_width,
-        true_height,
-        min_disparity,
-        match_threshold,
-    )
+    if hybrid is None:
+        hybrid = env_flag("SUPERSLAM_DEVICE_KF_HYBRID", True)
+    if hybrid:
+        kl, nkl, dl, vl, disparity, stereo_ok, track_m0 = _frontend_core(
+            sp_params,
+            lg_params,
+            images_u8,
+            kf_state[0],
+            kf_state[1],
+            kf_state[2],
+            max_keypoints,
+            keypoint_threshold,
+            remove_borders,
+            nms_radius,
+            true_width,
+            true_height,
+            min_disparity,
+            match_threshold,
+            kf_prenormalized=True,
+        )
+    else:
+        kl, nkl, dl, vl, disparity, stereo_ok = _extract_stereo(
+            sp_params,
+            lg_params,
+            images_u8,
+            max_keypoints,
+            keypoint_threshold,
+            remove_borders,
+            nms_radius,
+            true_width,
+            true_height,
+            min_disparity,
+            match_threshold,
+        )
+        track_m0 = None
     track_out, track_m, kf_state2, pose_carry2 = track_kf_scan(
         lg_params,
         kl,
@@ -886,6 +970,7 @@ def fused_stereo_track_kf_step_multi(
         stereo_ok,
         kf_state,
         pose_carry,
+        track_m0=track_m0,
         calib=calib,
         min_matches=min_matches,
         track_sigma_px=track_sigma_px,

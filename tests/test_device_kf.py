@@ -295,6 +295,127 @@ def test_track_kf_scan_matches_host_oracle():
     assert np.asarray(kf2[4]).all()
 
 
+def test_track_kf_scan_hybrid_equals_rematch():
+    """The speculative hybrid (batched entry-keyframe matches + cond-gated
+    in-scan re-match, SUPERSLAM_DEVICE_KF_HYBRID) must be OUTPUT-IDENTICAL
+    to the always-re-match scan on the oracle geometry: frames before the
+    in-scan promotion take the speculative branch (the carried keyframe is
+    still the entry keyframe, so the batched match IS the re-match), frames
+    after it take the re-match branch — both paths exercised because the
+    oracle promotes at frame 1 of 4."""
+    import jax.numpy as jnp
+
+    from superslam_tpu.models.lightglue import (
+        extract_matches,
+        init_lightglue_params,
+        lightglue_forward,
+    )
+    from superslam_tpu.ops.frontend_step import track_kf_scan
+
+    K, D = 128, 256
+    fx = fy = 100.0
+    cx, cy = 64.0, 48.0
+    b = 0.3
+    Wd, Hd = 128, 96
+    rng = np.random.default_rng(7)
+    uL0 = rng.uniform(10, Wd - 10, K)
+    v0 = rng.uniform(10, Hd - 10, K)
+    Z0 = rng.uniform(4.0, 10.0, K)
+    Xw = np.stack([(uL0 - cx) * Z0 / fx, (v0 - cy) * Z0 / fy, Z0], axis=1)
+    S = 4
+    t_true = [np.array([0.05 * s, 0.0, 0.03 * s]) for s in range(S + 1)]
+
+    def project(t):
+        p = Xw - t
+        return (
+            fx * p[:, 0] / p[:, 2] + cx,
+            fy * p[:, 1] / p[:, 2] + cy,
+            fx * b / p[:, 2],
+        )
+
+    kl = np.zeros((S, K, 2), np.float32)
+    disp = np.zeros((S, K), np.float32)
+    for s in range(S):
+        uL, v, d = project(t_true[s + 1])
+        kl[s, :, 0], kl[s, :, 1], disp[s] = uL, v, d
+    ok = np.ones((S, K), bool)
+    valid = np.ones((S, K), bool)
+    desc = rng.normal(0, 1, (K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    dl = np.broadcast_to(desc, (S, K, D)).copy()
+    scale = max(Wd, Hd) / 2.0
+    center = np.array([Wd / 2.0, Hd / 2.0], np.float32)
+    nkl = (kl - center) / scale
+    uLk, vk, _ = project(t_true[0])
+    kf_nk = ((np.stack([uLk, vk], 1) - center) / scale).astype(np.float32)
+    kf_state = (
+        jnp.asarray(kf_nk),
+        jnp.asarray(desc),
+        jnp.ones((K,), bool),
+        jnp.asarray(Xw, jnp.float32),
+        jnp.ones((K,), bool),
+        jnp.zeros((), jnp.int32),
+    )
+    pose_carry = (
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+    )
+    lg_params = init_lightglue_params(0, passthrough=True)
+
+    # The batched speculative matches exactly as the fused step computes
+    # them: one forward, kf side broadcast over frames.
+    kf_v_b = jnp.ones((S, K), bool)
+    la = lightglue_forward(
+        lg_params,
+        jnp.broadcast_to(jnp.asarray(kf_nk)[None], nkl.shape),
+        jnp.broadcast_to(jnp.asarray(desc)[None], dl.shape),
+        jnp.asarray(nkl),
+        jnp.asarray(dl),
+        kf_v_b,
+        jnp.asarray(valid),
+    )
+    track_m0, _ = extract_matches(la, kf_v_b, jnp.asarray(valid), 0.1)
+
+    kw = dict(
+        calib=(fx, fy, cx, cy, b),
+        min_matches=10,
+        track_sigma_px=10.0,
+        disp_sigma0=8.0,
+        disp_cond=fx * b / 40.0,
+        match_threshold=0.1,
+        accept_frac=0.4,
+        support_px=4.0,
+        track_iters=20,
+        covis_ratio=2.0,
+        kf_min_frames=2,
+        kf_max_frames=99,
+        kf_min_matches=30,
+    )
+    args = (
+        lg_params,
+        jnp.asarray(kl), jnp.asarray(nkl), jnp.asarray(dl),
+        jnp.asarray(valid), jnp.asarray(disp), jnp.asarray(ok),
+        kf_state, pose_carry,
+    )
+    out_re = track_kf_scan(*args, **kw)
+    out_hy = track_kf_scan(*args, track_m0=track_m0, **kw)
+
+    # A promotion must fire mid-scan with frames after it, so both the
+    # speculative branch (pre-promo) and the re-match branch (post-promo)
+    # are exercised at runtime (all frames valid here: since resets at the
+    # frame-1 promotion and the min_frames=2 gate re-fires at frame 3).
+    promos = np.asarray(out_re[0])[:, 15]
+    assert promos[1] == 1.0 and promos[0] == 0.0, f"unexpected promos {promos}"
+    np.testing.assert_array_equal(np.asarray(out_hy[0]), np.asarray(out_re[0]))
+    np.testing.assert_array_equal(np.asarray(out_hy[1]), np.asarray(out_re[1]))
+    for a, b2 in zip(out_hy[2], out_re[2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    for a, b2 in zip(out_hy[3], out_re[3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
 def test_device_kf_stays_engaged_at_dense_keyframe_cadence(setup, low_floor):
     """Regression: a host-initiated insertion orphans every in-flight frame
     (epoch bump); when the keyframe cadence is shorter than the pipeline
