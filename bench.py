@@ -16,11 +16,14 @@ fast/slow phases (each lasting tens of seconds, server-side; see the
 window diagnostic on stderr). Device time is phase-independent and is
 reported separately by differencing two on-device scan lengths.
 
-Frames are synthetic (no datasets are bundled in this environment): a
-textured random pattern, right image disparity-shifted, a slow drift over
-time so frame-to-keyframe matching runs the real code path. Model weights
-are random — identical compute to pretrained weights, so timing is
-representative even though the trajectory is not evaluable.
+Frames are rendered (no datasets are bundled in this environment): a
+textured-sprite room world (eval/synthetic_sequence.py) scaled by
+fx_kitti/fx_train so the apparent feature scale matches the committed
+render-trained checkpoints' domain, rendered as a closed-loop 144-frame
+circuit at the KITTI 00 camera geometry. The bench runs the REAL trained
+model stack (weights/superpoint_render.safetensors +
+weights/lightglue_synth.safetensors) at the natural keyframe cadence —
+the same stack the accuracy suite scores (ACCURACY.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,6 +31,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -35,8 +39,11 @@ import numpy as np
 
 BASELINE_FPS = 79.0  # reference KITTI 00, README.md:23
 WIDTH, HEIGHT = 1241, 376
+FX, CX, CY, BF = 718.856, 607.1928, 185.2157, 386.1448  # KITTI 00
+TRAIN_FX = 320.0  # the committed checkpoints' render-domain focal length
 N_WARMUP = 5
-N_FRAMES = 120  # distinct synthetic frames; the run cycles through them
+N_FRAMES = 144  # one full closed circuit lap; the run cycles seamlessly
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def make_slam():
@@ -46,16 +53,20 @@ def make_slam():
     from superslam_tpu.geometry.stereo_camera import StereoCalib
     from superslam_tpu.models.lightglue import init_lightglue_params
     from superslam_tpu.models.superpoint import init_superpoint_params
+    from superslam_tpu.models.weights import load_params
 
-    calib = StereoCalib(
-        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, baseline=386.1448 / 718.856
+    calib = StereoCalib(fx=FX, fy=FX, cx=CX, cy=CY, baseline=BF / FX)
+    # The real trained stack — the same committed checkpoints the accuracy
+    # suite scores (ACCURACY.json): render-trained SuperPoint + the
+    # synthetically-trained LightGlue transformer.
+    sp_params = load_params(
+        os.path.join(REPO, "weights", "superpoint_render.safetensors"),
+        lambda: init_superpoint_params(0),
     )
-    sp_params = init_superpoint_params(0)
-    # passthrough: identical compute to random weights, but descriptors
-    # survive the transformer so the assignment recovers true matches and
-    # the host estimator does real tracking work (fully random layers
-    # decorrelate features -> ~0 matches -> the estimator would coast).
-    lg_params = init_lightglue_params(0, passthrough=True)
+    lg_params = load_params(
+        os.path.join(REPO, "weights", "lightglue_synth.safetensors"),
+        lambda: init_lightglue_params(0, passthrough=True),
+    )
     max_kp = 600  # KITTI00-02.yaml superpoint.max_keypoints
     pipeline = FusedStereoPipeline(
         sp_params,
@@ -64,50 +75,75 @@ def make_slam():
         width=WIDTH,
         height=HEIGHT,
         max_keypoints=max_kp,
-        keypoint_threshold=0.0005,
+        keypoint_threshold=0.010,  # trained-checkpoint operating point
     )
     matcher = LightGlueMatcher(
         lg_params, image_width=WIDTH, image_height=HEIGHT, max_keypoints=max_kp
     )
     estimator = VoEstimator(matcher, calib, window_size=10)
-    # Random-weight descriptors re-identify ~0.4 of the keypoints (trained
-    # weights: 0.7-0.9), so the default 0.8 covisibility gate would insert a
-    # keyframe every ~2 frames and churn the smoother at an unrealistic
-    # rate. 0.3 reproduces the reference's keyframe cadence (one per ~10
-    # frames on KITTI) under this workload.
-    estimator.set_keyframe_params(covisibility_ratio=0.3, max_frames=20)
+    # Natural keyframe cadence at the accuracy stack's covisibility gate
+    # (KeyFrame.covis_ratio 0.75, make_synthetic_sequence.py config).
+    estimator.set_keyframe_params(covisibility_ratio=0.75, max_frames=20)
     return pipeline, estimator
 
 
 def synth_sequence(n: int, seed: int = 0):
-    """Drifting textured pattern; right = disparity-shifted left.
+    """Closed-loop rendered circuit at the KITTI 00 camera geometry.
 
-    High-contrast binary blocks + noise, not smoothed noise: random-weight
-    SuperPoint descriptors on weak texture collapse toward a common response
-    (background cosine ~0.99) and NO matcher can separate them — the
-    estimator would silently coast on constant velocity and the bench would
-    measure an idle host. Block texture keeps descriptors diverse enough
-    that the passthrough matcher recovers real correspondences and the
-    pose-solve/smoother path does representative work."""
-    rng = np.random.default_rng(seed)
-    h, w = HEIGHT + 64, WIDTH + 64
-    blocks = (
-        (rng.uniform(0, 1, (h // 8 + 1, w // 8 + 1)) > 0.5)
-        .astype(np.float32)
-        .repeat(8, 0)
-        .repeat(8, 1)[:h, :w]
+    The sprite-room world (eval/synthetic_sequence.py — the accuracy
+    suite's ground-truth renderer) scaled by FX/TRAIN_FX: apparent feature
+    size is fx*size/z, so scaling the room, sprites, and circuit radius by
+    the focal-length ratio keeps the rendered statistics inside the
+    committed checkpoints' training domain while the camera intrinsics are
+    KITTI's. laps=1.0 with n frames closes the loop exactly — cycling
+    through the buffer is seamless camera motion, no teleports.
+
+    Rendering ~50 s of host time is paid once per geometry and cached in
+    /tmp (keyed by shape/count/seed) across bench runs."""
+    cache = f"/tmp/superslam_bench_frames_{WIDTH}x{HEIGHT}_{n}_{seed}.npz"
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            return [(z["left"][i], z["right"][i]) for i in range(n)]
+        except Exception:
+            pass
+    from superslam_tpu.eval.synthetic_sequence import (
+        circuit_trajectory,
+        make_room_world,
+        render_stereo,
     )
-    base = np.clip(191.0 * blocks + rng.uniform(0, 64, (h, w)), 0, 255)
+    from superslam_tpu.geometry.stereo_camera import StereoCalib
+
+    s = FX / TRAIN_FX
+    rng = np.random.default_rng(seed)
+    world = make_room_world(
+        rng,
+        half_x=8.0 * s,
+        half_z=8.0 * s,
+        height=2.4 * s,
+        n_sprites=420,
+        sprite_half=(0.28 * s, 0.55 * s),
+    )
+    calib = StereoCalib(fx=FX, fy=FX, cx=CX, cy=CY, baseline=BF / FX)
+    poses = circuit_trajectory(n, radius_x=4.5 * s, radius_z=4.5 * s, laps=1.0)
+    rrng = np.random.default_rng(seed + 1)
     frames = []
-    for i in range(n):
-        # 8-px (descriptor-cell-aligned) drift: random-weight SuperPoint
-        # descriptors only re-identify a patch when it lands on the same
-        # cell phase, so sub-cell drift would starve the track matcher the
-        # same way weak texture does. Real weights have no such constraint.
-        dx, dy = (8 * i) % 64, (8 * (i // 4)) % 64
-        left = base[dy : dy + HEIGHT, dx : dx + WIDTH].astype(np.uint8)
-        right = np.roll(left, -8, axis=1)
-        frames.append((left, right))
+    for p in poses:
+        left, right = render_stereo(world, p, calib, HEIGHT, WIDTH, rrng)
+        frames.append(
+            (
+                np.round(left * 255).astype(np.uint8),
+                np.round(right * 255).astype(np.uint8),
+            )
+        )
+    try:
+        np.savez_compressed(
+            cache,
+            left=np.stack([f[0] for f in frames]),
+            right=np.stack([f[1] for f in frames]),
+        )
+    except Exception:
+        pass
     return frames
 
 
@@ -119,8 +155,6 @@ def _device_tracker_flag() -> bool:
 
 def main() -> None:
     from superslam_tpu.frontend.pipelined import PipelinedStereoTracker
-
-    import os
 
     # Persist XLA compilations like the facade does — the bench compiles
     # several large programs (fused step, track variant, nested device-only
@@ -137,11 +171,12 @@ def main() -> None:
         batch=int(os.environ.get("BENCH_BATCH", "4")),
         device_tracking=_device_tracker_flag(),
     )
-    frames = synth_sequence(N_WARMUP + N_FRAMES)
+    frames = synth_sequence(N_FRAMES)
 
     # Warmup: compile the fused program and settle caches. The flush drains
     # the in-flight window so first-use compiles of the auxiliary programs
-    # (host re-match on the pre-keyframe frames) also land here.
+    # (host re-match on the pre-keyframe frames) also land here. The lap is
+    # closed (laps=1.0), so indexing mod N_FRAMES is seamless camera motion.
     for i in range(N_WARMUP):
         l, r = frames[i]
         tracker.track(l, r, 0.1 * i)
