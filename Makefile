@@ -6,7 +6,7 @@ PY ?= python
 SEQ ?= 00
 DATASET_ROOT ?= datasets
 
-.PHONY: test bench accuracy native sanitize-test run-kitti run-euroc run-tum evaluate-kitti clean
+.PHONY: test bench accuracy accuracy-tpu native sanitize-test run-kitti run-euroc run-tum evaluate-kitti clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -19,6 +19,13 @@ bench:
 # the real CLI runners end-to-end, writes ACCURACY.json.
 accuracy:
 	$(PY) scripts/accuracy_suite.py
+
+# On-hardware validation block: re-scores the stereo legs with the facade
+# running on the real TPU (Pallas kernels, bf16, approx_max_k) and merges
+# a tpu_legs block into the committed ACCURACY.json.
+accuracy-tpu:
+	$(PY) scripts/accuracy_suite.py --platform axon --merge \
+		--legs stereo stereo_devkf
 
 native:
 	$(MAKE) -C csrc

@@ -145,6 +145,13 @@ def main() -> None:
         default=["stereo", "stereo_sync", "stereo_devkf", "stereo_nogate",
                  "stereo_loop", "stereo_passthrough", "rgbd"],
     )
+    ap.add_argument(
+        "--merge", action="store_true",
+        help="merge this run into an existing --out artifact instead of "
+        "overwriting it: non-cpu runs are stored under a platform-named "
+        "legs key (e.g. tpu_legs), so the committed ACCURACY.json can "
+        "carry the CPU matrix plus the on-hardware validation block",
+    )
     args = ap.parse_args()
 
     work = args.work_dir or tempfile.mkdtemp(prefix="accuracy_suite_")
@@ -210,9 +217,24 @@ def main() -> None:
         "suite": "rendered-world accuracy",
         "frames": args.frames,
         "platform": args.platform,
-        "weights": "render-domain trained (scripts/train_superpoint.py)",
+        "weights": "render-domain trained SuperPoint + synthetically-trained "
+        "LightGlue (weights/; stereo_passthrough = analytic-matcher ablation)",
         "legs": results,
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            suite = json.load(f)
+        key = "legs" if args.platform == "cpu" else f"{args.platform}_legs"
+        # The TPU platform registers as 'axon' in this environment; name
+        # the block by what it is, not the transport.
+        key = "tpu_legs" if key == "axon_legs" else key
+        # Update by leg name: re-running a subset refreshes those legs in
+        # place without dropping the rest of the block.
+        merged = {m["leg"]: m for m in suite.get(key, [])}
+        merged.update({m["leg"]: m for m in results})
+        suite[key] = list(merged.values())
+        if key != "legs":
+            suite[f"{key.split('_')[0]}_frames"] = args.frames
     with open(args.out, "w") as f:
         json.dump(suite, f, indent=2)
         f.write("\n")

@@ -52,13 +52,23 @@ def main() -> None:
         "(apparent feature scale is fx/z, independent of image size)",
     )
     ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument(
+        "--cosine", action="store_true",
+        help="cosine-decay the lr to lr/20 over the run (with a 100-step "
+        "warmup) instead of a flat schedule — the flat-lr runs plateau "
+        "with end-of-run loss spikes",
+    )
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--sp-weights", default="weights/superpoint_synth.safetensors")
+    ap.add_argument("--sp-weights", default="weights/superpoint_render.safetensors")
     ap.add_argument("--out", default="weights/lightglue_synth.safetensors")
     ap.add_argument("--from-random", action="store_true",
                     help="init from random instead of passthrough")
+    ap.add_argument("--init-weights", default=None,
+                    help="resume/fine-tune from an existing checkpoint "
+                    "instead of the passthrough construction")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from superslam_tpu.eval.synthetic_sequence import (
@@ -97,9 +107,25 @@ def main() -> None:
     held = pool[: max(4, args.pairs // 10)]
     train = pool[len(held):]
 
-    init = init_lightglue_params(args.seed, passthrough=not args.from_random)
+    if args.init_weights:
+        init = load_params(
+            args.init_weights, lambda: init_lightglue_params(args.seed)
+        )
+    else:
+        init = init_lightglue_params(args.seed, passthrough=not args.from_random)
     params = {k: jnp.asarray(v, jnp.float32) for k, v in init.items()}
-    tx = make_optimizer(args.lr)
+    if args.cosine:
+        import optax
+
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=args.lr / 10.0, peak_value=args.lr,
+            warmup_steps=min(100, max(1, args.steps // 10)),
+            decay_steps=args.steps,
+            end_value=args.lr / 20.0,
+        )
+    else:
+        lr = args.lr
+    tx = make_optimizer(lr)
     opt = tx.init(params)
 
     def eval_prf(params):
@@ -145,7 +171,12 @@ def main() -> None:
     save_params_torch_layout(params, args.out)
     meta = {
         "steps": args.steps,
-        "init": "random" if args.from_random else "passthrough",
+        "init": args.init_weights or ("random" if args.from_random else "passthrough"),
+        "batch": args.batch,
+        "pairs": args.pairs,
+        "lr": args.lr,
+        "cosine": args.cosine,
+        "platform": jax.default_backend(),
         "precision_init": p0,
         "recall_init": r0,
         "precision": p1,
