@@ -53,6 +53,14 @@ def main() -> None:
     )
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument(
+        "--stereo-frac", type=float, default=0.0,
+        help="fraction of harvested pairs whose motion is the pure stereo "
+        "baseline shift — the SAME LightGlue weights do L-R stereo "
+        "matching in the fused pipeline, and VO-motion-only fine-tuning "
+        "degrades it (measured: circuit ATE 0.0675 -> 0.0771 despite "
+        "better VO-pair P/R)",
+    )
+    ap.add_argument(
         "--cosine", action="store_true",
         help="cosine-decay the lr to lr/20 over the run (with a 100-step "
         "warmup) instead of a flat schedule — the flat-lr runs plateau "
@@ -95,9 +103,13 @@ def main() -> None:
     while len(pool) < args.pairs:
         # VO-like motion: a base pose on the circuit + a small random step.
         pose0 = random_interior_pose(rng, yaw_jitter=0.2)
-        xi = np.concatenate(
-            [rng.normal(0, 0.02, 3), rng.normal(0, 0.08, 3)]  # [w, v]
-        )
+        if rng.uniform() < args.stereo_frac:
+            # Stereo geometry: the right camera is a pure baseline shift.
+            xi = np.array([0.0, 0.0, 0.0, calib.baseline, 0.0, 0.0])
+        else:
+            xi = np.concatenate(
+                [rng.normal(0, 0.02, 3), rng.normal(0, 0.08, 3)]  # [w, v]
+            )
         pose1 = pose0 * Pose3.expmap(xi)
         s = harvest_pair(sp_params, world, pose0, pose1, calib, h, w, args.cap, rng)
         if s is not None:
@@ -176,6 +188,7 @@ def main() -> None:
         "pairs": args.pairs,
         "lr": args.lr,
         "cosine": args.cosine,
+        "stereo_frac": args.stereo_frac,
         "platform": jax.default_backend(),
         "precision_init": p0,
         "recall_init": r0,
