@@ -139,6 +139,68 @@ def eigenplaces_descriptor_from_device_gray(
     return eigenplaces_descriptor(params, img[None])[0]
 
 
+def _bn_batch(x, params, name, dtype, stats: dict):
+    """Train-mode batch norm: normalize by THIS batch's statistics and
+    record them in ``stats`` (the caller EMAs them into the running stats
+    that the inference forward (_bn) consumes — standard torch semantics,
+    expressed functionally: the stats ride the returned pytree instead of
+    being module state)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    var = jnp.var(xf, axis=(0, 1, 2))
+    stats[f"{name}.running_mean"] = mean
+    stats[f"{name}.running_var"] = var
+    g = params[f"{name}.weight"].astype(jnp.float32)
+    b = params[f"{name}.bias"].astype(jnp.float32)
+    scale = g * jax.lax.rsqrt(var + 1e-5)
+    return (xf * scale + (b - mean * scale)).astype(dtype)
+
+
+def _basic_block_train(x, params, name, stride, dtype, stats):
+    out = _conv(x, params, f"{name}.conv1", stride, dtype)
+    out = jax.nn.relu(_bn_batch(out, params, f"{name}.bn1", dtype, stats))
+    out = _conv(out, params, f"{name}.conv2", 1, dtype)
+    out = _bn_batch(out, params, f"{name}.bn2", dtype, stats)
+    if f"{name}.downsample.0.weight" in params:
+        x = _conv(x, params, f"{name}.downsample.0", stride, dtype)
+        x = _bn_batch(x, params, f"{name}.downsample.1", dtype, stats)
+    return jax.nn.relu(out + x)
+
+
+def eigenplaces_descriptor_train(
+    params: Params, image: jnp.ndarray, dtype=jnp.bfloat16
+) -> tuple[jnp.ndarray, dict]:
+    """Training forward (scripts/train_eigenplaces.py): identical math to
+    ``eigenplaces_descriptor`` except batch norm uses batch statistics.
+    Returns (L2-normalized descriptors, {bn running-stat name: batch stat})
+    so the trainer can EMA the stats the inference forward will use."""
+    stats: dict = {}
+    x = _conv(image, params, "backbone.conv1", 2, dtype)
+    x = jax.nn.relu(_bn_batch(x, params, "backbone.bn1", dtype, stats))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for stage, blocks, _, first_stride in _STAGES:
+        for b in range(blocks):
+            x = _basic_block_train(
+                x, params, f"backbone.{stage}.{b}",
+                first_stride if b == 0 else 1, dtype, stats,
+            )
+    feat = x.astype(jnp.float32)
+    feat = feat * jax.lax.rsqrt(
+        jnp.sum(jnp.square(feat), axis=-1, keepdims=True) + 1e-12
+    )
+    p = params["aggregation.1.p"].astype(jnp.float32).reshape(())
+    pooled = jnp.mean(jnp.clip(feat, 1e-6, None) ** p, axis=(1, 2)) ** (1.0 / p)
+    out = pooled @ params["aggregation.3.weight"].astype(jnp.float32)
+    out = out + params["aggregation.3.bias"].astype(jnp.float32)
+    desc = out * jax.lax.rsqrt(
+        jnp.sum(jnp.square(out), axis=-1, keepdims=True) + 1e-12
+    )
+    return desc, stats
+
+
 def preprocess_image(image: np.ndarray, size: int = 512) -> np.ndarray:
     """Gray/BGR uint8 or float -> (1, size, size, 3) ImageNet-normalized RGB.
 

@@ -130,3 +130,38 @@ def test_device_gray_descriptor_matches_host_path():
     )
     np.testing.assert_allclose(dev, host, atol=2e-3)
     np.testing.assert_allclose(np.linalg.norm(dev), 1.0, atol=1e-4)
+
+
+def test_train_forward_matches_inference_at_batch_stats():
+    """The training forward (batch-stat BN, scripts/train_eigenplaces.py)
+    must compute the inference network exactly when the running stats EQUAL
+    the batch stats — pins the two forwards to one set of BN semantics, so
+    a checkpoint whose running stats were EMA'd from training batches drops
+    into the production eigenplaces_descriptor unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superslam_tpu.models.eigenplaces import (
+        eigenplaces_descriptor,
+        eigenplaces_descriptor_train,
+        init_eigenplaces_params,
+    )
+
+    params = init_eigenplaces_params(7)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+
+    desc_tr, stats = eigenplaces_descriptor_train(params, x)
+    assert set(stats) == {k for k in params if "running_" in k}
+    merged = dict(params)
+    merged.update(stats)
+    desc_inf = eigenplaces_descriptor(merged, x)
+    # atol covers bf16 rounding divergence between the jitted inference
+    # program and the eagerly-traced training forward (~6e-3 over 18
+    # layers); a BN semantics mismatch would be O(0.1) or worse.
+    np.testing.assert_allclose(
+        np.asarray(desc_tr), np.asarray(desc_inf), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(desc_tr), axis=1), 1.0, atol=1e-4
+    )
