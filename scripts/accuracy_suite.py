@@ -57,7 +57,7 @@ runpy.run_path({runner!r}, run_name="__main__")
 """
 
 
-def _run(cmd, env_extra=None, timeout=2400):
+def _run(cmd, env_extra=None, timeout=4800):
     env = dict(os.environ)
     env["SUPERSLAM_NO_LOG_FILE"] = "1"
     if env_extra:
