@@ -146,6 +146,13 @@ def main() -> None:
                  "stereo_loop", "stereo_passthrough", "rgbd"],
     )
     ap.add_argument(
+        "--lg-checkpoints", nargs="*", default=None,
+        help="LightGlue checkpoint face-off: for each weights/<name>, run "
+        "the stereo leg on the same render and store the table under the "
+        "artifact's lightglue_checkpoints key (merged in place). Mirrors "
+        "the reference's published per-model tables.",
+    )
+    ap.add_argument(
         "--merge", action="store_true",
         help="merge this run into an existing --out artifact instead of "
         "overwriting it: non-cpu runs are stored under a platform-named "
@@ -159,7 +166,9 @@ def main() -> None:
     stereo_seq = os.path.join(work, "stereo_seq")
     rgbd_seq = os.path.join(work, "rgbd_seq")
 
-    need_stereo = any(leg.startswith("stereo") for leg in args.legs)
+    need_stereo = any(leg.startswith("stereo") for leg in args.legs) or bool(
+        args.lg_checkpoints
+    )
     if need_stereo and not os.path.exists(os.path.join(stereo_seq, "poses_gt.txt")):
         print(f"[suite] rendering stereo circuit ({args.frames} frames)...")
         _run([sys.executable, os.path.join(REPO, "scripts", "make_synthetic_sequence.py"),
@@ -213,6 +222,39 @@ def main() -> None:
         print(f"[suite] {json.dumps(m)}")
         results.append(m)
 
+    ckpt_results = []
+    for ckpt in args.lg_checkpoints or []:
+        # Same rendered sequence, a different committed LightGlue
+        # checkpoint: swap weights_file in a config copy and run the
+        # plain stereo leg (the reference publishes per-model tables;
+        # this is the zero-egress equivalent).
+        src = os.path.join(stereo_seq, "config.yaml")
+        cfg = f"config_faceoff_{ckpt}.yaml"
+        sec = ""
+        with open(src) as f, open(os.path.join(stereo_seq, cfg), "w") as g:
+            for line in f:
+                if line and not line[0].isspace() and line.rstrip().endswith(":"):
+                    sec = line.strip().rstrip(":")
+                if sec == "lightglue" and line.strip().startswith("weights_file:"):
+                    line = f"  weights_file: {ckpt}\n"
+                g.write(line)
+        name = f"stereo_lg_{os.path.splitext(ckpt)[0]}"
+        print(f"[suite] running checkpoint face-off {name}...")
+        try:
+            m = run_stereo_leg(stereo_seq, name, {}, args.platform, config=cfg)
+            m["checkpoint"] = ckpt
+            side = os.path.join(REPO, "weights", ckpt + ".json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    meta = json.load(f)
+                for k in ("steps", "platform", "precision", "recall"):
+                    if k in meta:
+                        m[f"train_{k}"] = meta[k]
+        except Exception as e:
+            m = {"leg": name, "checkpoint": ckpt, "error": str(e)[-500:]}
+        print(f"[suite] {json.dumps(m)}")
+        ckpt_results.append(m)
+
     suite = {
         "suite": "rendered-world accuracy",
         "frames": args.frames,
@@ -235,6 +277,12 @@ def main() -> None:
         suite[key] = list(merged.values())
         if key != "legs":
             suite[f"{key.split('_')[0]}_frames"] = args.frames
+        if ckpt_results:
+            merged_c = {m["leg"]: m for m in suite.get("lightglue_checkpoints", [])}
+            merged_c.update({m["leg"]: m for m in ckpt_results})
+            suite["lightglue_checkpoints"] = list(merged_c.values())
+    elif ckpt_results:
+        suite["lightglue_checkpoints"] = ckpt_results
     with open(args.out, "w") as f:
         json.dump(suite, f, indent=2)
         f.write("\n")
