@@ -19,6 +19,9 @@ bench:
 # the real CLI runners end-to-end, writes ACCURACY.json.
 accuracy:
 	$(PY) scripts/accuracy_suite.py
+	$(PY) scripts/accuracy_suite.py --merge --legs \
+		--lg-checkpoints lightglue_synth.safetensors \
+		lightglue_tpu2.safetensors lightglue_tpu3.safetensors
 
 # On-hardware validation block: re-scores the stereo legs with the facade
 # running on the real TPU (Pallas kernels, bf16, approx_max_k) and merges
