@@ -44,6 +44,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_f32_matmuls
+
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
 from ..utils.env import env_flag
@@ -206,6 +208,7 @@ def _pack(kl, vl, disparity, stereo_ok, track_m):
         "match_threshold",
     ),
 )
+@highest_f32_matmuls
 def fused_stereo_step_multi(
     sp_params,
     lg_params,
@@ -285,6 +288,7 @@ def _reorthonormalize(R):
         "track_iters",
     ),
 )
+@highest_f32_matmuls
 def fused_stereo_track_step_multi(
     sp_params,
     lg_params,
@@ -373,6 +377,7 @@ def fused_stereo_track_step_multi(
     return packed, dl, kl, vl, track_out, carry
 
 
+@highest_f32_matmuls
 def _frame_solve(
     R_prev,
     t_prev,
@@ -469,6 +474,7 @@ def _frame_solve(
     return R_s, t_s, n, ok, resid
 
 
+@highest_f32_matmuls
 def track_scan(
     kl,  # (S, K, 2) left keypoints (pixels)
     disparity,  # (S, K)
@@ -617,6 +623,7 @@ def _extract_stereo(
 TRACK_KF_COLS = 16  # R row-major (9) + t (3) + n + support + accept + promo
 
 
+@highest_f32_matmuls
 def track_kf_scan(
     lg_params,
     kl,  # (S, K, 2) left keypoints (pixels)
@@ -876,6 +883,7 @@ def track_kf_scan(
         "hybrid",
     ),
 )
+@highest_f32_matmuls
 def fused_stereo_track_kf_step_multi(
     sp_params,
     lg_params,

@@ -29,6 +29,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import default_matmul_precision
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,6 +69,7 @@ def _sdpa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@default_matmul_precision
 def masked_attention(
     q: jnp.ndarray,  # (B, H, N, Dh)
     k: jnp.ndarray,  # (B, H, N, Dh)

@@ -35,6 +35,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import default_matmul_precision
 from jax.experimental import pallas as pl
 
 PAD_ROWS = 8
@@ -379,6 +381,7 @@ def _conv_pair_pool_kernel(
 @functools.partial(
     jax.jit, static_argnames=("w_img", "interpret", "out_dtype", "pool_vert")
 )
+@default_matmul_precision
 def conv_pair_chw(
     x: jnp.ndarray,  # (B, C_in, Hp, Wp) canvas
     wa: jnp.ndarray,  # (3, 3, C_in, C_mid)
@@ -483,6 +486,7 @@ def conv_pair_chw(
 @functools.partial(
     jax.jit, static_argnames=("w_img", "interpret", "out_dtype", "pool_vert")
 )
+@default_matmul_precision
 def conv1a1b_chw(
     x: jnp.ndarray,  # (B, 1, Hp, Wp) image canvas (f32 in [0,1] or uint8)
     wa: jnp.ndarray,  # (3, 3, 1, C_mid)
@@ -601,6 +605,7 @@ def conv1a1b_chw(
 @functools.partial(
     jax.jit, static_argnames=("relu", "w_img", "interpret", "out_dtype")
 )
+@default_matmul_precision
 def conv3x3_chw(
     x: jnp.ndarray,  # (B, C, Hp, Wp) canvas, see module docstring
     w: jnp.ndarray,  # (3, 3, C, C_out) HWIO

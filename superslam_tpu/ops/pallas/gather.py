@@ -21,6 +21,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import default_matmul_precision
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,6 +37,7 @@ def _gather_kernel(cell_ref, row_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@default_matmul_precision
 def gather_normalize(
     grid: jnp.ndarray,  # (GH, GW, D) descriptor grid
     cells: jnp.ndarray,  # (K,) int32 flat cell index (cy * GW + cx)

@@ -31,6 +31,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import default_matmul_precision
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -331,6 +333,7 @@ def _wspecs(shapes):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@default_matmul_precision
 def fused_self_block(x, cos_p, sin_p, mask, weights, interpret=False):
     """x (B, K, 256) bf16; cos_p/sin_p (B, K, 256) f32 in permuted layout;
     mask (B, 8, K) f32 0/1. Returns the block output (B, K, 256)."""
@@ -356,6 +359,7 @@ def fused_self_block(x, cos_p, sin_p, mask, weights, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@default_matmul_precision
 def fused_cross_block(x, mask, weights, interpret=False):
     """x (2P, K, 256) pair-interleaved; mask (2P, 8, K) f32 0/1."""
     b2, kk, _ = x.shape

@@ -20,6 +20,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import default_matmul_precision
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,6 +55,7 @@ def _nms_kernel(x_ref, o_ref, *, w, radius):
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@default_matmul_precision
 def nms_suppress(
     scores: jnp.ndarray, radius: int = 4, interpret: bool = False
 ) -> jnp.ndarray:

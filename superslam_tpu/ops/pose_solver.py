@@ -19,6 +19,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_f32_matmuls
+
 HUBER_K = 2.7955  # sqrt(7.815)
 
 
@@ -153,6 +155,7 @@ def _error(R, t, Xw, meas, inv_sig, valid, calib):
     )
 
 
+@highest_f32_matmuls
 def pose_only_lm_impl(
     R0: jnp.ndarray,  # (3,3) initial rotation (Twc)
     t0: jnp.ndarray,  # (3,)

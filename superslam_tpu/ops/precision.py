@@ -1,0 +1,53 @@
+"""f32 matmul precision control for the geometry/solver programs.
+
+On TPU, XLA's default precision for f32 dot/conv operands is a single
+bf16x bf16 MXU pass (~8 mantissa bits per input). That is the right trade
+for the neural front-end (SuperPoint/LightGlue already cast to bfloat16
+on purpose), but it silently corrupts the GEOMETRY math: pose-only LM
+normal equations, SE(3) retractions, landmark transforms and support
+residuals are f32 chains whose ~1e-3 per-op error compounds across a
+trajectory. Measured end-to-end on the rendered 150-frame circuit
+(scripts/accuracy_suite.py --platform axon): device-tracked ATE was
+0.2757 m at default precision vs 0.0705 m host-solved — the entire gap
+was MXU input rounding, not kernels or bf16 descriptors.
+
+Every solver / fused-tracking program builder is therefore wrapped in
+``highest_f32_matmuls``: f32 operands use the multi-pass (f32-exact)
+MXU algorithm, while explicitly-bf16 neural matmuls are unaffected (the
+precision knob only raises the algorithm for wider-than-bf16 operands).
+On CPU this is a no-op — which is why the CPU oracle tests never saw it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+
+def highest_f32_matmuls(fn):
+    """Trace ``fn`` with jax.default_matmul_precision('highest')."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def default_matmul_precision(fn):
+    """Trace ``fn`` at jax.default_matmul_precision('default').
+
+    The Pallas entry points are decorated with this to undo an enclosing
+    ``highest_f32_matmuls`` scope: Mosaic rejects an fp32 contract
+    precision on bf16 kernel operands (``vector<...xbf16>`` dot with
+    ``#tpu.contract_precision<fp32>`` fails to lower), and the kernels
+    already choose their own operand dtypes explicitly."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("default"):
+            return fn(*args, **kwargs)
+
+    return wrapped

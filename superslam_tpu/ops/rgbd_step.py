@@ -18,6 +18,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_f32_matmuls
+
 from ..models.lightglue import extract_matches, lightglue_forward
 from ..models.superpoint import select_keypoints, superpoint_dense
 from ..utils.env import env_flag
@@ -40,6 +42,7 @@ RGBD_PACK_ROWS = 3
         "match_threshold",
     ),
 )
+@highest_f32_matmuls
 def fused_rgbd_step(
     sp_params,
     lg_params,
@@ -113,6 +116,7 @@ def fused_rgbd_step(
         "match_threshold",
     ),
 )
+@highest_f32_matmuls
 def fused_rgbd_step_multi(
     sp_params,
     lg_params,
@@ -215,6 +219,7 @@ def undistort_points_jnp(
         "dist",
     ),
 )
+@highest_f32_matmuls
 def fused_rgbd_track_step_multi(
     sp_params,
     lg_params,

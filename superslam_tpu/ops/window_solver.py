@@ -25,6 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import highest_f32_matmuls
+
 
 def _proj_residuals(p, iz, meas, fx, fy, cx, cy, baseline):
     proj_uL = fx * p[..., 0] * iz + cx
@@ -42,6 +44,7 @@ def _proj_jacobian(p, iz, fx, fy, baseline):
     return jnp.stack([row0, row1, row2], axis=-2)  # (..., 3, 3)
 
 
+@highest_f32_matmuls
 def triangulate(R, t, views, meas, calib, iters: int = 5, obs_valid=None):
     """Batched GN point triangulation. Returns (X (L,3), ok (L,)).
 
@@ -88,6 +91,7 @@ def triangulate(R, t, views, meas, calib, iters: int = 5, obs_valid=None):
 
 
 @functools.partial(jax.jit, static_argnames=("num_poses",))
+@highest_f32_matmuls
 def build_reduced_system(
     R: jnp.ndarray,  # (K, 3, 3)
     t: jnp.ndarray,  # (K, 3)
@@ -209,6 +213,7 @@ def _window_error(
 
 
 @functools.partial(jax.jit, static_argnames=("num_poses", "max_iters"))
+@highest_f32_matmuls
 def solve_window(
     R0: jnp.ndarray,  # (K, 3, 3) seed rotations (Twc)
     t0: jnp.ndarray,  # (K, 3) seed translations
