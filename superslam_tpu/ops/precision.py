@@ -26,11 +26,20 @@ import jax
 
 
 def highest_f32_matmuls(fn):
-    """Trace ``fn`` with jax.default_matmul_precision('highest')."""
+    """Trace ``fn`` with jax.default_matmul_precision('highest').
+
+    SUPERSLAM_F32_PRECISION overrides the mode (one of jax's
+    default/high/highest/bfloat16/float32 ...; '0' or 'default' restores
+    the XLA default — the A/B kill-switch for the solver-precision fix)."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        import os
+
+        mode = os.environ.get("SUPERSLAM_F32_PRECISION", "highest")
+        if mode in ("0", "", "default"):
+            return fn(*args, **kwargs)
+        with jax.default_matmul_precision(mode):
             return fn(*args, **kwargs)
 
     return wrapped
