@@ -99,8 +99,39 @@ def synth_sequence(n: int, seed: int = 0):
     through the buffer is seamless camera motion, no teleports.
 
     Rendering ~50 s of host time is paid once per geometry and cached in
-    /tmp (keyed by shape/count/seed) across bench runs."""
-    cache = f"/tmp/superslam_bench_frames_{WIDTH}x{HEIGHT}_{n}_{seed}.npz"
+    /tmp (keyed by shape/count/seed AND a hash of every render parameter +
+    a renderer version tag, so a render-path change can never silently
+    benchmark stale frames from a prior build)."""
+    import hashlib
+
+    import superslam_tpu.eval.synthetic_sequence as _renderer_mod
+
+    with open(_renderer_mod.__file__, "rb") as f:
+        renderer_src_hash = hashlib.sha1(f.read()).hexdigest()
+
+    render_key = hashlib.sha1(
+        "|".join(
+            str(v)
+            for v in (
+                renderer_src_hash,  # any renderer edit invalidates the cache
+                FX,
+                TRAIN_FX,
+                CX,
+                CY,
+                BF,
+                8.0,  # half_x/half_z
+                2.4,  # height
+                420,  # n_sprites
+                0.28,
+                0.55,  # sprite_half
+                4.5,  # radius_x/z
+                1.0,  # laps
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    cache = (
+        f"/tmp/superslam_bench_frames_{WIDTH}x{HEIGHT}_{n}_{seed}_{render_key}.npz"
+    )
     if os.path.exists(cache):
         try:
             z = np.load(cache)

@@ -16,7 +16,13 @@ Legs:
   stereo_sync     SUPERSLAM_PIPELINE=0 — must track at least as well
   stereo_devkf    SUPERSLAM_DEVICE_TRACKER=1 — in-program solve + zero-lag
                   keyframe promotion (ops.frontend_step.track_kf_scan);
-                  the TPU default path, semantics-identical on CPU
+                  the TPU default path. The PROGRAM is platform-agnostic
+                  (same XLA semantics on CPU), but the leg is NOT expected
+                  to equal the host-solved legs: the device chain solves in
+                  f32 against keyframe world points grounded at the
+                  instantaneous LM pose, while the host chain solves in f64
+                  against smoother-corrected keyframes (see the
+                  stereo_devtrack / stereo_devkf_* bisect ablations)
   stereo_nogate   SUPERSLAM_TRACK_GATE=0 ablation (documents the gate's
                   measured value; see FrameTracker.track_gated)
   stereo_loop     SUPERSLAM_ENABLE_LOOP=1 on the same lap (laps=1.06
@@ -189,8 +195,34 @@ def main() -> None:
         # Analytic mutual-NN matcher ablation: documents what the trained
         # LightGlue transformer buys (0.103 -> 0.068 m ATE, measured).
         "stereo_passthrough": {},
+        # --- devkf bisect ablations (not in the default matrix) ---
+        # Device f32 LM solve + host gates + dispatch-frozen keyframe:
+        # isolates the device-solve/adoption factor from the in-program
+        # keyframe chain.
+        "stereo_devtrack": {
+            "SUPERSLAM_DEVICE_TRACKER": "1",
+            "SUPERSLAM_DEVICE_KF": "0",
+        },
+        # Full devkf with the speculative hybrid disabled (round-3 shape:
+        # every frame re-matches in-scan).
+        "stereo_devkf_nohybrid": {
+            "SUPERSLAM_DEVICE_TRACKER": "1",
+            "SUPERSLAM_DEVICE_KF_HYBRID": "0",
+        },
+        # Full devkf under the analytic passthrough matcher (legs ending in
+        # _passthrough run on the passthrough config copy).
+        "stereo_devkf_passthrough": {"SUPERSLAM_DEVICE_TRACKER": "1"},
+        # Loop leg with a RANDOM-INIT place recognizer (loop.weights_file
+        # pointed at a nonexistent file -> load_params falls back): the
+        # ablation documenting what the trained EigenPlaces retrieval buys
+        # over a random projection (reference src/EigenPlaces.cc:145-174
+        # ships a trained network).
+        "stereo_loop_randomplace": {"SUPERSLAM_ENABLE_LOOP": "1"},
     }
-    if "stereo_passthrough" in args.legs and need_stereo:
+    need_passthrough_cfg = any(
+        leg.endswith("_passthrough") for leg in args.legs
+    )
+    if need_passthrough_cfg and need_stereo:
         # Same rendered sequence, analytic matcher: swap the lightglue
         # checkpoint for __passthrough__ in a config copy.
         src = os.path.join(stereo_seq, "config.yaml")
@@ -204,16 +236,32 @@ def main() -> None:
                     line = "  weights_file: __passthrough__\n"
                 g.write(line)
 
+    if "stereo_loop_randomplace" in args.legs and need_stereo:
+        # Loop config copy with the recognizer checkpoint pointed at a
+        # nonexistent file: load_params warns and falls back to random init.
+        src = os.path.join(stereo_seq, "config.yaml")
+        dst = os.path.join(stereo_seq, "config_randomplace.yaml")
+        with open(src) as f, open(dst, "w") as g:
+            for line in f:
+                g.write(line)
+                if line.strip() == "loop:":
+                    g.write("  weights_file: __random_init_ablation__\n")
+
     results = []
     for leg in args.legs:
         print(f"[suite] running leg {leg}...")
         try:
             if leg == "rgbd":
                 m = run_rgbd_leg(rgbd_seq, leg, {}, args.platform)
-            elif leg == "stereo_passthrough":
+            elif leg.endswith("_passthrough"):
                 m = run_stereo_leg(
-                    stereo_seq, leg, {}, args.platform,
+                    stereo_seq, leg, stereo_envs.get(leg, {}), args.platform,
                     config="config_passthrough.yaml",
+                )
+            elif leg == "stereo_loop_randomplace":
+                m = run_stereo_leg(
+                    stereo_seq, leg, stereo_envs[leg], args.platform,
+                    config="config_randomplace.yaml",
                 )
             else:
                 m = run_stereo_leg(stereo_seq, leg, stereo_envs[leg], args.platform)
@@ -231,16 +279,25 @@ def main() -> None:
         src = os.path.join(stereo_seq, "config.yaml")
         cfg = f"config_faceoff_{ckpt}.yaml"
         sec = ""
+        substituted = False
         with open(src) as f, open(os.path.join(stereo_seq, cfg), "w") as g:
             for line in f:
                 if line and not line[0].isspace() and line.rstrip().endswith(":"):
                     sec = line.strip().rstrip(":")
                 if sec == "lightglue" and line.strip().startswith("weights_file:"):
                     line = f"  weights_file: {ckpt}\n"
+                    substituted = True
                 g.write(line)
         name = f"stereo_lg_{os.path.splitext(ckpt)[0]}"
         print(f"[suite] running checkpoint face-off {name}...")
         try:
+            if not substituted:
+                # Without the rewrite the leg would silently score the
+                # default checkpoint under this row's name.
+                raise RuntimeError(
+                    f"no lightglue.weights_file line found in {src}; "
+                    "face-off substitution did not fire"
+                )
             m = run_stereo_leg(stereo_seq, name, {}, args.platform, config=cfg)
             m["checkpoint"] = ckpt
             side = os.path.join(REPO, "weights", ckpt + ".json")

@@ -21,8 +21,16 @@ On CPU this is a no-op — which is why the CPU oracle tests never saw it.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+
+# Read ONCE at import: ambient precision is not part of jit's cache key, so
+# flipping the env var after a program has compiled in-process would silently
+# return the cached executable traced at the old precision. Making it a
+# module constant gives the kill-switch honest process-restart semantics —
+# an A/B is two processes, never one.
+F32_PRECISION_MODE = os.environ.get("SUPERSLAM_F32_PRECISION", "highest")
 
 
 def highest_f32_matmuls(fn):
@@ -30,16 +38,15 @@ def highest_f32_matmuls(fn):
 
     SUPERSLAM_F32_PRECISION overrides the mode (one of jax's
     default/high/highest/bfloat16/float32 ...; '0' or 'default' restores
-    the XLA default — the A/B kill-switch for the solver-precision fix)."""
+    the XLA default — the A/B kill-switch for the solver-precision fix).
+    The env var is read once at import (see F32_PRECISION_MODE above):
+    set it before starting the process, not mid-run."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        import os
-
-        mode = os.environ.get("SUPERSLAM_F32_PRECISION", "highest")
-        if mode in ("0", "", "default"):
+        if F32_PRECISION_MODE in ("0", "", "default"):
             return fn(*args, **kwargs)
-        with jax.default_matmul_precision(mode):
+        with jax.default_matmul_precision(F32_PRECISION_MODE):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -165,30 +165,13 @@ def test_batched_track_scan_sharded_matches_per_sequence(mesh):
             assert np.linalg.norm(true.between(got).logmap()) < 1e-3
 
 
-def test_graft_entry_contract():
-    import sys
+def _run_dryrun_subprocess():
+    """Run dryrun_multichip(8) in a bare subprocess, retrying then skipping
+    on collective-rendezvous starvation (AwaitAndLogIfStuck SIGABRT).
 
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as g
-
-    fn, args = g.entry()
-    out = fn(*args)
-    # The fused track-kf step contract: (packed, desc, kpts, valid,
-    # track_out, kf_state, pose_carry) with the packed readback and the
-    # pose/accept/promo row well-formed (TRACK_KF_COLS = 16).
-    packed, _desc, _kpts, _valid, track_out, _kf_state, _carry = out
-    assert packed.shape[0] == 4 and track_out.shape[1] == 16
-    import numpy as np
-
-    assert np.isfinite(np.asarray(track_out)).all()
-    g.dryrun_multichip(8)
-
-
-def test_dryrun_multichip_standalone_like_driver():
-    """Regression for round-1 MULTICHIP failure: the driver runs
-    dryrun_multichip in a bare process where sitecustomize pins JAX onto the
-    single axon device — the entry point must force the virtual CPU platform
-    itself, without help from tests/conftest.py."""
+    An in-process dryrun can SIGABRT the whole pytest run when the 8-device
+    all-reduce rendezvous starves on this single-core host, so every test
+    that needs the dryrun goes through this harness."""
     import os
     import subprocess
     import sys
@@ -219,6 +202,36 @@ def test_dryrun_multichip_standalone_like_driver():
                     "CPU contention (AwaitAndLogIfStuck) — environmental")
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "dryrun_multichip ok" in r.stdout
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = fn(*args)
+    # The fused track-kf step contract: (packed, desc, kpts, valid,
+    # track_out, kf_state, pose_carry) with the packed readback and the
+    # pose/accept/promo row well-formed (TRACK_KF_COLS = 16).
+    packed, _desc, _kpts, _valid, track_out, _kf_state, _carry = out
+    assert packed.shape[0] == 4 and track_out.shape[1] == 16
+    import numpy as np
+
+    assert np.isfinite(np.asarray(track_out)).all()
+    # The dryrun runs in a subprocess: an in-process collective abort
+    # (rendezvous starvation on a contended single-core host) would kill
+    # the whole pytest run with no summary.
+    _run_dryrun_subprocess()
+
+
+def test_dryrun_multichip_standalone_like_driver():
+    """Regression for round-1 MULTICHIP failure: the driver runs
+    dryrun_multichip in a bare process where sitecustomize pins JAX onto the
+    single axon device — the entry point must force the virtual CPU platform
+    itself, without help from tests/conftest.py."""
+    _run_dryrun_subprocess()
 
 
 def test_make_mesh_fails_loudly_when_too_few_devices():
