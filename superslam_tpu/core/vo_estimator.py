@@ -95,6 +95,14 @@ class VoEstimator:
         self._last_keyframe_pose = Pose3()
         self._previous_frame_pose = Pose3()
         self._previous_relative = Pose3()  # constant-velocity fallback
+        # Device-kf mode: the RAW device-chain pose of the last keyframe.
+        # The in-program keyframe chain (ops.frontend_step.track_kf_scan)
+        # dead-reckons — its scan carry never sees the window smoother — so
+        # adopted device poses are consumed as INCREMENTS against this
+        # reference and re-anchored on the smoothed keyframe pose (see
+        # _track). None = the device carry was (re)seeded from host state,
+        # i.e. the device chain currently coincides with the smoothed frame.
+        self._kf_device_pose: Pose3 | None = None
         self._frames_since_keyframe = 0
         self._covisibility_ratio = 0.8
         self._max_keyframe_frames = 20
@@ -331,15 +339,15 @@ class VoEstimator:
             n_m = len(ki_l)
             Xw = meas = None
             n_kept = -1
-            if device_accept is not None and device_pose_a is not None:
-                # Zero-lag device keyframe mode: the device judged this solve
-                # by the identical support rule in-program (track_kf_scan);
-                # adopt its decision verbatim. On a rejected frame the device
-                # pose IS its constant-velocity coast, so adopting it keeps
-                # the host trajectory equal to the device chain.
+            if device_accept and device_pose_a is not None:
+                # Zero-lag device keyframe mode, ACCEPTED solve: the device
+                # judged it by the identical support rule in-program
+                # (track_kf_scan); adopt it. The pose is a RAW device-chain
+                # pose — _track re-anchors it on the smoothed keyframe (see
+                # the `adopted` handling below).
                 return {
                     "pose": device_pose_a,
-                    "coast": not device_accept,
+                    "coast": False,
                     "support": -1,
                     "n": n_m,
                     "fml": fml,
@@ -348,7 +356,21 @@ class VoEstimator:
                     "Xw": None,
                     "meas": None,
                     "n_kept": -1,
+                    "adopted": True,
                 }
+            if device_accept is False:
+                # Device-REJECTED solve: do NOT adopt the device coast. The
+                # in-program chain has no rescue machinery by design
+                # (track_scan docstring: degenerate-frame recovery lives
+                # with the estimator), and its coast compounds: one marginal
+                # rejection freezes its velocity carry, every later
+                # prediction falls further behind, and the chain rejects
+                # until covisibility happens to return (measured on a
+                # 0.71 m/frame render: 33 consecutive frozen frames, ATE
+                # 4.45 m vs 0.09 host). Fall through to the full host solve
+                # on the device's own matches; a host-gate insertion below
+                # then reseeds the device carry at the recovered pose.
+                device_pose_a = None
             if n_m > 0:
                 Xw = kf_a.backproject_all(self.calib, np.asarray(ki_l))
                 meas = frame.stereo[np.asarray(fi_l)]
@@ -468,12 +490,36 @@ class VoEstimator:
         n_kept = res["n_kept"]
         frame_pose = res["pose"]
         coast = res["coast"]
+        dev_pose = None
+        if res.get("adopted"):
+            # The device-kf chain dead-reckons: its scan carry (pose AND the
+            # promoted keyframes' world-point grounding) never sees the
+            # window smoother, so its absolute poses drift like raw VO while
+            # the host keyframe chain is window-smoothed at every insertion.
+            # Consuming the device pose verbatim therefore throws the
+            # smoother's work away (the anchor*rel identity cancels it
+            # exactly: anchor==smoothed KF, rel==smoothed_KF^-1 * dev_pose).
+            # Instead, treat the device chain as a RELATIVE odometry source:
+            # take its increment since the keyframe's own device-chain pose
+            # and re-anchor on the smoothed keyframe pose. Measured on the
+            # rendered 150-frame circuit (trained stack, CPU): devkf ATE
+            # 0.2112 m raw-chain vs 0.0675 host; this re-anchoring is the
+            # designed fix.
+            dev_pose = frame_pose
+            ref_dev = self._kf_device_pose
+            if ref_dev is None:
+                # Carry was (re)seeded from host state: the device chain
+                # restarted in the smoothed frame at the keyframe itself.
+                ref_dev = self._last_keyframe_pose
+            frame_pose = self._last_keyframe_pose * (
+                ref_dev.inverse() * frame_pose
+            )
         self.last_inlier_ratio = n_matches / max(1, len(kf))
         if coast:
-            if device_accept is None:
-                frame_pose = self._previous_frame_pose * self._previous_relative
-            # else: the adopted device pose already IS the device chain's
-            # constant-velocity coast (track_kf_scan) — keep it.
+            # Adopted frames never coast (device_accept=False frames run the
+            # host solve instead — see _attempt), so every coast here is a
+            # host-side decision: hold the host velocity.
+            frame_pose = self._previous_frame_pose * self._previous_relative
         else:
             self._previous_relative = self._previous_frame_pose.between(frame_pose)
 
@@ -524,10 +570,17 @@ class VoEstimator:
         self._frames_since_keyframe += 1
         covis = env_float("SUPERSLAM_KF_COVIS", self._covisibility_ratio)
         reference_features = len(kf_f2l)
-        if device_promote is not None:
+        if device_promote is not None and device_accept is not False:
             # Zero-lag device keyframe mode: the gate already ran in-program
             # with these exact semantics; follow its bit so the host keyframe
-            # chain mirrors the device-carried keyframe one-for-one.
+            # chain mirrors the device-carried keyframe one-for-one. (Stale
+            # frames arrive here with device_accept=None and a forced
+            # device_promote=False — insertion authority stays in-program,
+            # see frontend.pipelined.drain_one.) Device-REJECTED frames
+            # (device_accept=False) take the host branch below: they were
+            # host-solved, and a host-gate insertion is the designed
+            # recovery — it reseeds the stuck device carry at the rescued
+            # pose (drain_one keys the reseed on device_promote=False).
             insert = device_promote and not coast
         else:
             insert = not coast and should_insert_keyframe(
@@ -542,6 +595,12 @@ class VoEstimator:
                 frame, frame_pose, frame_matched_landmark, left_gray,
                 descriptor_provider,
             )
+            # Device-promoted insertion: remember the new keyframe's RAW
+            # device-chain pose so later adopted poses re-anchor against it.
+            # Host-initiated insertion: the pipelined tracker reseeds the
+            # device carry from host state, after which the device chain
+            # coincides with the smoothed frame again (None sentinel).
+            self._kf_device_pose = dev_pose if res.get("adopted") else None
 
         self._previous_frame_pose = frame_pose
         rel_pose = self._last_keyframe_pose.inverse() * frame_pose
