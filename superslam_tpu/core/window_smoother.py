@@ -58,6 +58,9 @@ class WindowSmoother:
         self._window: deque[int] = deque()
         self._poses: "OrderedDict[int, Pose3]" = OrderedDict()
         self._obs: dict[int, list[StereoObs]] = {}
+        # Per-keyframe columnar obs (ids (N,) int64, meas (N, 3) float64),
+        # mirrors _obs; see add_keyframe.
+        self._obs_arr: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     # -- bookkeeping --------------------------------------------------------
     def add_keyframe(
@@ -65,11 +68,26 @@ class WindowSmoother:
     ) -> None:
         self._poses[keyframe_id] = initial_pose
         self._obs[keyframe_id] = obs
+        # Columnar copy, built ONCE per insertion: optimize() rebuilds the
+        # track groups at every solve (~window_size times per keyframe
+        # lifetime), and iterating StereoObs objects there put ~45 ms of
+        # pure-Python attribute walks on the tracking drain path.
+        if obs:
+            self._obs_arr[keyframe_id] = (
+                np.array([o.landmark_id for o in obs], dtype=np.int64),
+                np.array([o.meas for o in obs], dtype=np.float64),
+            )
+        else:
+            self._obs_arr[keyframe_id] = (
+                np.empty((0,), np.int64),
+                np.empty((0, 3), np.float64),
+            )
         self._window.append(keyframe_id)
         while len(self._window) > self.window_size:  # fixed-lag: drop oldest
             old = self._window.popleft()
             self._poses.pop(old, None)
             self._obs.pop(old, None)
+            self._obs_arr.pop(old, None)
 
     def pose_of(self, keyframe_id: int) -> Pose3:
         return self._poses[keyframe_id]
@@ -102,24 +120,37 @@ class WindowSmoother:
         import time as _time
 
         _t0 = _time.perf_counter()
-        tracks: dict[int, list[tuple[int, np.ndarray]]] = {}
-        for kf in kf_ids:
-            i = idx_of[kf]
-            for o in self._obs[kf]:
-                tracks.setdefault(o.landmark_id, []).append((i, np.asarray(o.meas)))
+        # Vectorized rebuild over the per-keyframe columnar copies,
+        # ordering-identical to the per-obs Python loop it replaces (~12 ms
+        # of attribute walks + per-track np.stack on the drain path):
+        # tracks appear in first-observation order, each track's views stay
+        # in window order (stable argsort), and the groups dict is keyed in
+        # first-seen track-length order.
+        ids = np.concatenate([self._obs_arr[kf][0] for kf in kf_ids])
+        meas_all = np.concatenate([self._obs_arr[kf][1] for kf in kf_ids])
+        view_all = np.concatenate(
+            [
+                np.full(self._obs_arr[kf][0].shape[0], idx_of[kf], np.int64)
+                for kf in kf_ids
+            ]
+        )
         groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        by_len: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
-        for t in tracks.values():
-            if len(t) < 2:
-                continue
-            views = np.array([v for v, _ in t], dtype=np.int64)
-            meas = np.stack([m for _, m in t])
-            by_len.setdefault(len(t), []).append((views, meas))
-        for m, items in by_len.items():
-            groups[m] = (
-                np.stack([v for v, _ in items]),  # (L, m)
-                np.stack([x for _, x in items]),  # (L, m, 3)
+        if ids.size:
+            _u, first, inv, counts = np.unique(
+                ids, return_index=True, return_inverse=True, return_counts=True
             )
+            perm = np.argsort(inv, kind="stable")
+            starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+            views_s = view_all[perm]
+            meas_s = meas_all[perm]
+            fs_order = np.argsort(first, kind="stable")
+            for m in dict.fromkeys(counts[fs_order].tolist()):
+                if m < 2:
+                    continue
+                sel = counts == m
+                row_start = starts[sel][np.argsort(first[sel], kind="stable")]
+                gi = row_start[:, None] + np.arange(m)[None, :]
+                groups[int(m)] = (views_s[gi], meas_s[gi])
         if Profiler.enabled():
             Profiler.instance().add(
                 "ws_rebuild", (_time.perf_counter() - _t0) * 1e3
@@ -230,7 +261,59 @@ class WindowSmoother:
 
         Triangulates every track from the seeds and drops landmarks whose max
         per-view reprojection error exceeds ``dyn_outlier_px`` (or that fail
-        cheirality). The surviving set is then held fixed for the LM."""
+        cheirality). The surviving set is then held fixed for the LM.
+
+        All track-length groups are merged into ONE zero-padded (L, m_max)
+        batch so the gate is a handful of large einsums instead of
+        5-GN-iterations-per-group of small ones (~22 ms of the tracking
+        drain path at window 10 x 350 obs). Padding with zeroed residual/
+        Jacobian terms is float-exact: appending +0.0 to a sum never changes
+        it, so the keep-set is bitwise the per-group reference's
+        (tests/test_window_smoother.py pins this on random windows)."""
+        if dyn_outlier_px <= 0:
+            return groups
+        try:
+            R, t = self._pose_arrays(poses)
+            m_max = max(groups)
+            L = sum(v.shape[0] for v, _ in groups.values())
+            views = np.zeros((L, m_max), np.int64)
+            meas = np.zeros((L, m_max, 3), np.float64)
+            valid = np.zeros((L, m_max), bool)
+            offs: dict[int, tuple[int, int]] = {}
+            r0 = 0
+            for m, (v, x) in groups.items():
+                n = v.shape[0]
+                views[r0 : r0 + n, :m] = v
+                meas[r0 : r0 + n, :m] = x
+                valid[r0 : r0 + n, :m] = True
+                offs[m] = (r0, n)
+                r0 += n
+            X, ok = self._triangulate_padded(R, t, views, meas, valid)
+            Rv, tv = R[views], t[views]
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+            z = p[..., 2]
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            r = self._residuals_from_cam(p, 1.0 / zs, meas)
+            r = np.where(valid[..., None], r, 0.0)
+            maxerr = np.max(np.linalg.norm(r, axis=-1), axis=-1)
+            keep_all = ok & (maxerr < dyn_outlier_px)
+        except np.linalg.LinAlgError:
+            # The reference path isolates a singular batch to its group;
+            # the merged solve cannot, so fall back wholesale.
+            return self._prefilter_groups_ref(poses, groups, dyn_outlier_px)
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for m, (v, x) in groups.items():
+            r0, n = offs[m]
+            keep = keep_all[r0 : r0 + n]
+            if keep.any():
+                out[m] = (v[keep], x[keep])
+        return out
+
+    def _prefilter_groups_ref(
+        self, poses: list[Pose3], groups: dict, dyn_outlier_px: float
+    ) -> dict:
+        """Per-group reference implementation of the seed gate (the merged
+        fast path above is pinned to it bitwise)."""
         if dyn_outlier_px <= 0:
             return groups
         R, t = self._pose_arrays(poses)
@@ -300,6 +383,55 @@ class WindowSmoother:
         # Final validity: all views in front and well-conditioned.
         p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
         ok = ok & np.all(p[..., 2] > self.DEGENERACY_EPS, axis=1)
+        ok = ok & np.isfinite(X).all(axis=1)
+        return X, ok
+
+    def _triangulate_padded(
+        self,
+        R: np.ndarray,
+        t: np.ndarray,
+        views: np.ndarray,
+        meas: np.ndarray,
+        valid: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """_triangulate_group over a zero-padded (L, m_max) batch: padded
+        view slots contribute exactly-zero residual/Jacobian terms and are
+        excluded from the cheirality test, so every track's result is
+        bitwise what the unpadded per-group call computes (view 0 is always
+        real: tracks have >= 2 views)."""
+        c = self.calib
+        Rv = R[views]  # (L,m,3,3)
+        tv = t[views]  # (L,m,3)
+        L, m = views.shape
+
+        uL0, uR0, v0 = meas[:, 0, 0], meas[:, 0, 1], meas[:, 0, 2]
+        disp0 = uL0 - uR0
+        ok = disp0 > 1e-6
+        z0 = c.bf / np.where(ok, disp0, 1.0)
+        cam0 = np.stack(
+            [(uL0 - c.cx) * z0 / c.fx, (v0 - c.cy) * z0 / c.fy, z0], axis=1
+        )
+        X = np.einsum("lij,lj->li", Rv[:, 0], cam0) + tv[:, 0]
+
+        for _ in range(5):
+            p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+            z = p[..., 2]
+            ok = ok & np.all((z > self.DEGENERACY_EPS) | ~valid, axis=1)
+            zs = np.where(z > self.DEGENERACY_EPS, z, 1.0)
+            iz = 1.0 / zs
+            r = self._residuals_from_cam(p, iz, meas)
+            Jp = self._proj_jacobian(p, iz)
+            Jx = np.einsum("lmij,lmkj->lmik", Jp, Rv)
+            Jx = np.where(valid[..., None, None], Jx, 0.0)
+            r = np.where(valid[..., None], r, 0.0)
+            A = np.einsum("lmij,lmik->ljk", Jx, Jx)
+            g = np.einsum("lmij,lmi->lj", Jx, r)
+            A = A + 1e-9 * np.eye(3)
+            delta = -np.linalg.solve(A, g[..., None])[..., 0]
+            X = X + np.where(ok[:, None], delta, 0.0)
+
+        p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)
+        ok = ok & np.all((p[..., 2] > self.DEGENERACY_EPS) | ~valid, axis=1)
         ok = ok & np.isfinite(X).all(axis=1)
         return X, ok
 

@@ -204,3 +204,113 @@ def test_huber_native_matches_numpy_on_outliers():
     for a, b in zip(py, nat):
         np.testing.assert_allclose(b.R, a.R, atol=5e-4)
         np.testing.assert_allclose(b.t, a.t, atol=5e-3)
+
+
+def _reference_rebuild(sm, kf_ids):
+    """The original per-obs Python rebuild (pre-vectorization), kept here as
+    the oracle for the columnar fast path in WindowSmoother.optimize."""
+    idx_of = {k: i for i, k in enumerate(kf_ids)}
+    tracks = {}
+    for kf in kf_ids:
+        i = idx_of[kf]
+        for o in sm._obs[kf]:
+            tracks.setdefault(o.landmark_id, []).append((i, np.asarray(o.meas)))
+    groups = {}
+    by_len = {}
+    for t in tracks.values():
+        if len(t) < 2:
+            continue
+        views = np.array([v for v, _ in t], dtype=np.int64)
+        meas = np.stack([m for _, m in t])
+        by_len.setdefault(len(t), []).append((views, meas))
+    for m, items in by_len.items():
+        groups[m] = (
+            np.stack([v for v, _ in items]),
+            np.stack([x for _, x in items]),
+        )
+    return groups
+
+
+def _vectorized_rebuild(sm, kf_ids):
+    """Mirror of the columnar rebuild inside optimize() (same code path,
+    extracted for the equality test)."""
+    idx_of = {k: i for i, k in enumerate(kf_ids)}
+    ids = np.concatenate([sm._obs_arr[kf][0] for kf in kf_ids])
+    meas_all = np.concatenate([sm._obs_arr[kf][1] for kf in kf_ids])
+    view_all = np.concatenate(
+        [
+            np.full(sm._obs_arr[kf][0].shape[0], idx_of[kf], np.int64)
+            for kf in kf_ids
+        ]
+    )
+    groups = {}
+    if ids.size:
+        _u, first, inv, counts = np.unique(
+            ids, return_index=True, return_inverse=True, return_counts=True
+        )
+        perm = np.argsort(inv, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        views_s = view_all[perm]
+        meas_s = meas_all[perm]
+        fs_order = np.argsort(first, kind="stable")
+        for m in dict.fromkeys(counts[fs_order].tolist()):
+            if m < 2:
+                continue
+            sel = counts == m
+            row_start = starts[sel][np.argsort(first[sel], kind="stable")]
+            gi = row_start[:, None] + np.arange(m)[None, :]
+            groups[int(m)] = (views_s[gi], meas_s[gi])
+    return groups
+
+
+def _random_window(rng, n_kf=8, n_lm=120, p_see=0.55):
+    calib = make_calib()
+    sm = WindowSmoother(calib, window_size=n_kf)
+    lms = rng.uniform([-8, -4, 4], [8, 4, 28], size=(n_lm, 3))
+    for k in range(n_kf):
+        pose = Pose3(t=np.array([0.15 * k, 0.0, 0.6 * k]))
+        obs = []
+        for lm_id in rng.permutation(n_lm):  # scrambled per-kf obs order
+            if rng.random() > p_see:
+                continue
+            try:
+                m = stereo_project(pose, calib, lms[lm_id])
+            except Exception:
+                continue
+            m = m + rng.normal(0, 0.4, 3)
+            if rng.random() < 0.05:
+                m = m + rng.normal(0, 25.0, 3)  # gross outliers for the gate
+            obs.append(StereoObs(int(lm_id), m))
+        sm.add_keyframe(k, pose, obs)
+    return sm
+
+
+def test_vectorized_rebuild_bitwise_equals_reference():
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        sm = _random_window(rng)
+        kf_ids = list(sm._window)
+        ref = _reference_rebuild(sm, kf_ids)
+        fast = _vectorized_rebuild(sm, kf_ids)
+        assert list(ref) == list(fast)  # same group keys, same ORDER
+        for m in ref:
+            rv, rm = ref[m]
+            fv, fm = fast[m]
+            assert rv.dtype == fv.dtype and rm.dtype == fm.dtype
+            np.testing.assert_array_equal(rv, fv)
+            np.testing.assert_array_equal(rm, fm)
+
+
+def test_merged_prefilter_bitwise_equals_reference():
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        sm = _random_window(rng)
+        kf_ids = list(sm._window)
+        poses = [sm._poses[k] for k in kf_ids]
+        groups = _vectorized_rebuild(sm, kf_ids)
+        ref = sm._prefilter_groups_ref(poses, groups, 3.0)
+        fast = sm._prefilter_groups(poses, groups, 3.0)
+        assert list(ref) == list(fast)
+        for m in ref:
+            np.testing.assert_array_equal(ref[m][0], fast[m][0])
+            np.testing.assert_array_equal(ref[m][1], fast[m][1])
