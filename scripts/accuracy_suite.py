@@ -212,6 +212,13 @@ def main() -> None:
         # Full devkf under the analytic passthrough matcher (legs ending in
         # _passthrough run on the passthrough config copy).
         "stereo_devkf_passthrough": {"SUPERSLAM_DEVICE_TRACKER": "1"},
+        # Keyframe-cadence ablation: the suite config's covis_ratio 0.75
+        # inserts a keyframe every 1-2 frames under the trained matcher's
+        # covisibility statistics, putting a window solve + insertion path
+        # on nearly every frame (bench decomposition measured the nokf
+        # tracker at 3 fps vs 23.5 at covis 0.3, same process/phase). This
+        # leg documents what the dense cadence buys in ATE.
+        "stereo_covis03": {"SUPERSLAM_KF_COVIS": "0.3"},
         # Loop leg with a RANDOM-INIT place recognizer (loop.weights_file
         # pointed at a nonexistent file -> load_params falls back): the
         # ablation documenting what the trained EigenPlaces retrieval buys

@@ -504,7 +504,25 @@ class PipelinedStereoTracker:
                 else:
                     kf_ref = None
             elif item.kf_ref_id is not None:
-                device_pose = _decode_device_pose(item.pose.result()[item.slot])
+                row = item.pose.result()[item.slot]
+                if row[12] >= self._trk_min_matches:
+                    device_pose = _decode_device_pose(row)
+                else:
+                    # In-program COAST (n < min_matches): the row is the
+                    # device carry's dead-reckoned prediction, not a solve.
+                    # Adopting it interleaves carry-frame guesses with
+                    # host-frame solves (converged solves anchor through the
+                    # uploaded keyframe world points, coasts do not), and
+                    # the frozen velocity carry compounds: one marginal
+                    # in-program coast latched the dispatch-frozen tracker
+                    # for dozens of frames (measured: stereo_devtrack ATE
+                    # 2.34 m vs 0.066 devkf on the 150-frame circuit, 31
+                    # frames with >2x ground-truth step). Fall through to
+                    # the full host solve on the device's own matches and
+                    # reseed the carry from host state at the next dispatch
+                    # — the devtrack analogue of the device-kf rejected-
+                    # frame rescue.
+                    self._carry_stale = True
         if self.device_kf and device_promote is None:
             # Stale/bootstrap frame while the zero-lag mode is ACTIVE: it
             # tracks through the host re-match path, but it must NOT run

@@ -199,7 +199,15 @@ class PipelinedRgbdTracker:
             frame, kf_matches = self._decode(item)
         device_pose = None
         if item.pose is not None and item.kf_ref_id is not None:
-            device_pose = _decode_device_pose(item.pose.result()[item.slot])
+            row = item.pose.result()[item.slot]
+            if row[12] >= self._trk_min_matches:
+                device_pose = _decode_device_pose(row)
+            else:
+                # In-program coast: host-solve the frame and reseed the
+                # carry (see frontend.pipelined.drain_one — the coast row
+                # is a carry-frame prediction, not a solve, and the frozen
+                # velocity carry latches without host rescue).
+                self._carry_stale = True
         provider = None
         if self.loop_descriptor_fn is not None and item.gray_dev is not None:
             fn, dev = self.loop_descriptor_fn, item.gray_dev

@@ -505,7 +505,7 @@ def test_device_kf_flush_tail_reseeds(setup, low_floor):
     assert all(np.isfinite(p.t).all() for p in t)
 
 
-def _trained_circuit_ates(n_frames, speed):
+def _trained_circuit_ates(n_frames, speed, device_kf=True):
     """Host vs devkf ATE on a trained-checkpoint circuit render.
 
     fx must match the checkpoints' render-domain focal length (320): the
@@ -553,9 +553,19 @@ def _trained_circuit_ates(n_frames, speed):
                              max_keypoints=Kt),
             calib, window_size=4,
         )
-        tr = PipelinedStereoTracker(
-            fused, est, depth=2, device_tracking=device_tracking
-        )
+        old = os.environ.get("SUPERSLAM_DEVICE_KF")
+        if not device_kf:
+            os.environ["SUPERSLAM_DEVICE_KF"] = "0"
+        try:
+            tr = PipelinedStereoTracker(
+                fused, est, depth=2, device_tracking=device_tracking
+            )
+        finally:
+            if not device_kf:
+                if old is None:
+                    os.environ.pop("SUPERSLAM_DEVICE_KF", None)
+                else:
+                    os.environ["SUPERSLAM_DEVICE_KF"] = old
         for i, (l, r) in enumerate(seq):
             tr.track(l, r, 0.1 * i)
         tr.flush()
@@ -611,4 +621,25 @@ def test_device_kf_reject_rescue_fast_motion():
     assert ate_dev <= 1.5 * ate_host + 0.03, (
         f"devkf fast-motion rescue regressed: {ate_dev:.4f} vs host "
         f"{ate_host:.4f} (the unrescued coast froze at ~50x host)"
+    )
+
+
+def test_devtrack_coast_rescue_trained_weights():
+    """Dispatch-frozen device tracking (SUPERSLAM_DEVICE_KF=0 — the
+    compile-failure fallback mode) must host-rescue in-program COASTS.
+    The TRACK_COLS row for a coasted frame (n < min_matches) is the device
+    carry's dead-reckoned prediction, not a solve: converged solves anchor
+    in the host frame through the uploaded keyframe world points, but
+    coasts ride the carry, and the frozen velocity compounds exactly like
+    the device-kf rejected-frame latch. Measured on the 150-frame suite
+    circuit BEFORE the rescue: stereo_devtrack ATE 2.34 m vs 0.066 devkf /
+    0.068 host, with 31 frames stepping >2x the ground-truth step (carry-
+    frame coasts sawtoothing against host-frame solves). drain_one now
+    refuses to adopt rows with n < min_matches (host-solves the frame on
+    the device's own matches) and reseeds the carry at the next dispatch."""
+    ate_host, ate_dev = _trained_circuit_ates(30, speed=1.0, device_kf=False)
+    assert ate_host < 0.5, f"host tracking broke on the fixture: {ate_host}"
+    assert ate_dev <= 1.5 * ate_host + 0.03, (
+        f"devtrack trajectory regressed vs host: {ate_dev:.4f} vs "
+        f"{ate_host:.4f} (the unrescued coast latch measured ~35x host)"
     )
