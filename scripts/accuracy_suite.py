@@ -219,6 +219,16 @@ def main() -> None:
         # tracker at 3 fps vs 23.5 at covis 0.3, same process/phase). This
         # leg documents what the dense cadence buys in ATE.
         "stereo_covis03": {"SUPERSLAM_KF_COVIS": "0.3"},
+        # MXU-precision kill-switch ablation (TPU-only semantics: on CPU
+        # the wrapper is a documented no-op). ops/precision.py wraps every
+        # solver program in default_matmul_precision('highest') because
+        # XLA's default bf16-input f32 matmuls corrupt the geometry chains
+        # (device-tracked ATE 0.2757 m vs 0.0705 host before the fix);
+        # this leg re-measures that failure mode with the fix disabled.
+        "stereo_devkf_f32off": {
+            "SUPERSLAM_DEVICE_TRACKER": "1",
+            "SUPERSLAM_F32_PRECISION": "0",
+        },
         # Loop leg with a RANDOM-INIT place recognizer (loop.weights_file
         # pointed at a nonexistent file -> load_params falls back): the
         # ablation documenting what the trained EigenPlaces retrieval buys

@@ -8,8 +8,19 @@ normal equations, SE(3) retractions, landmark transforms and support
 residuals are f32 chains whose ~1e-3 per-op error compounds across a
 trajectory. Measured end-to-end on the rendered 150-frame circuit
 (scripts/accuracy_suite.py --platform axon): device-tracked ATE was
-0.2757 m at default precision vs 0.0705 m host-solved — the entire gap
-was MXU input rounding, not kernels or bf16 descriptors.
+0.2757 m at default precision vs 0.0705 m host-solved when this wrapper
+was written (round 4).
+
+Round-5 postscript (2026-08-20, ACCURACY.json tpu_legs): the round-4
+attribution was WRONG, or at least incomplete. After the pose-adoption
+re-anchor fix (commit 5439d2d) the on-hardware kill-switch A/B shows
+stereo_devkf 0.0738 m with the wrapper vs 0.0693 m with it disabled
+(stereo_devkf_f32off) — statistically indistinguishable; the 0.2757 m
+failure was the adoption-algebra bug, not MXU input rounding. The wrapper
+is kept because running f64-oracle-pinned f32 geometry chains through
+bf16-rounded MXU passes is wrong in principle and free in practice (the
+solver programs are a negligible share of device time), but it is no
+longer claimed to be accuracy-critical on the measured circuit.
 
 Every solver / fused-tracking program builder is therefore wrapped in
 ``highest_f32_matmuls``: f32 operands use the multi-pass (f32-exact)
