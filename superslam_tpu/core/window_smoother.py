@@ -55,6 +55,10 @@ class WindowSmoother:
     def __init__(self, calib: StereoCalib, window_size: int):
         self.calib = calib
         self.window_size = int(window_size)
+        # Solve-cadence state (SUPERSLAM_WS_SOLVE_EVERY): number of
+        # optimize() calls since the last FULL solve. Seeded high so the
+        # first call is always full.
+        self._since_full_solve = 1 << 30
         self._window: deque[int] = deque()
         self._poses: "OrderedDict[int, Pose3]" = OrderedDict()
         self._obs: dict[int, list[StereoObs]] = {}
@@ -110,6 +114,24 @@ class WindowSmoother:
 
         sigma_px = env_float("SUPERSLAM_SMART_SIGMA_PX", 1.0)
         max_iters = env_int("SUPERSLAM_WS_MAX_ITERS", 4)
+        # Solve-cadence amortization for dense keyframe insertion: at the
+        # covis-0.75 gate the trained matcher inserts a keyframe every ~2
+        # frames and the full window LM (~93 ms at bench shapes) lands on
+        # the tracking drain path at every insertion — 46.7 ms/frame of the
+        # flagship bench leg (scripts/profile_bench_ab.py; the LM, not the
+        # rebuild, dominates after the columnar-rebuild rewrite). With
+        # SUPERSLAM_WS_SOLVE_EVERY=k > 1, only every k-th optimize() runs
+        # the full max_iters LM; the calls between run a warm-started
+        # 1-iteration polish (SUPERSLAM_WS_LIGHT_ITERS) on the same frozen
+        # seed-gated landmark set — every keyframe is still smoothed, the
+        # deep re-convergence is amortized. Default 1 = historical behavior.
+        solve_every = env_int("SUPERSLAM_WS_SOLVE_EVERY", 1)
+        if solve_every > 1:
+            self._since_full_solve += 1
+            if self._since_full_solve >= solve_every:
+                self._since_full_solve = 0
+            else:
+                max_iters = env_int("SUPERSLAM_WS_LIGHT_ITERS", 1)
         dyn_outlier_px = env_float("SUPERSLAM_WS_OUTLIER_PX", 3.0)
         prior_sigma = 1e-4
         prior_pose = poses[0]

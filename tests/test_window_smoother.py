@@ -314,3 +314,37 @@ def test_merged_prefilter_bitwise_equals_reference():
         for m in ref:
             np.testing.assert_array_equal(ref[m][0], fast[m][0])
             np.testing.assert_array_equal(ref[m][1], fast[m][1])
+
+
+def test_solve_every_cadence_still_recovers_poses(monkeypatch):
+    """SUPERSLAM_WS_SOLVE_EVERY=2: incremental add+optimize per keyframe
+    with alternating full/light solves must still recover ground truth,
+    and the first optimize() is always a FULL solve (the counter seeds
+    high), so a cold window never gets only the 1-iteration polish."""
+    calib = make_calib()
+    gt = [Pose3(t=np.array([float(i), 0.0, 0.0])) for i in range(6)]
+    lms = make_world(np.random.default_rng(11), n=80)
+    offset = Pose3.expmap(np.array([0.0, 0.0, 0.02, 0.1, -0.05, 0.08]))
+
+    monkeypatch.setenv("SUPERSLAM_WS_SOLVE_EVERY", "2")
+    sm = WindowSmoother(calib, window_size=6)
+    seen_iters = []
+    orig = sm._solve_backend
+
+    def spy(poses, groups, sigma_px, prior_pose, prior_sigma, max_iters, huber_k=0.0):
+        seen_iters.append(max_iters)
+        return orig(poses, groups, sigma_px, prior_pose, prior_sigma, max_iters, huber_k)
+
+    monkeypatch.setattr(sm, "_solve_backend", spy)
+    for k, tp in enumerate(gt):
+        seed = tp if k == 0 else tp * offset
+        sm.add_keyframe(k, seed, observe(tp, lms, calib))
+        sm.optimize()
+
+    # optimize() early-returns at window_count < 2, so the first recorded
+    # solve (k=1) must be full; thereafter full/light alternate.
+    assert seen_iters[0] == 4
+    assert 1 in seen_iters and 4 in seen_iters[1:]
+    for k, tp in enumerate(gt):
+        est = sm.pose_of(k)
+        assert np.linalg.norm(est.t - tp.t) < 0.05, f"kf {k}: {est.t} vs {tp.t}"
