@@ -31,13 +31,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SUPERSLAM_PROFILE", "1")
 
 LEGS = [
-    # (name, passthrough_lg, covis, device_kf)
-    ("r3ish_passthrough_covis03_nokf", True, 0.3, False),
-    ("trained_covis03_nokf", False, 0.3, False),
-    ("trained_covis075_nokf", False, 0.75, False),
-    ("trained_covis075_kf", False, 0.75, True),
-    ("trained_covis075_kf_nosmoother", False, 0.75, True),
+    # (name, passthrough_lg, covis, device_kf, leg_env)
+    ("r3ish_passthrough_covis03_nokf", True, 0.3, False, {}),
+    ("trained_covis03_nokf", False, 0.3, False, {}),
+    ("trained_covis075_nokf", False, 0.75, False, {}),
+    ("trained_covis075_kf", False, 0.75, True, {}),
+    ("trained_covis075_kf_nosmoother", False, 0.75, True,
+     {"SUPERSLAM_VO_NO_SMOOTHER": "1"}),
+    # Window-solve cadence (SUPERSLAM_WS_SOLVE_EVERY): full LM every k-th
+    # insertion, 1-iteration warm polish between — the designed recovery
+    # for ws_solve's 46.7 ms/frame share of the kf leg.
+    ("trained_covis075_kf_ws2", False, 0.75, True,
+     {"SUPERSLAM_WS_SOLVE_EVERY": "2"}),
+    ("trained_covis075_kf_ws4", False, 0.75, True,
+     {"SUPERSLAM_WS_SOLVE_EVERY": "4"}),
 ]
+
+# Every env key any leg may set: cleared before each leg so settings never
+# leak across the round-robin.
+LEG_ENV_KEYS = ("SUPERSLAM_VO_NO_SMOOTHER", "SUPERSLAM_WS_SOLVE_EVERY")
+
+
+def _apply_leg_env(leg_env: dict) -> None:
+    for k in LEG_ENV_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(leg_env)
 
 
 def build_tracker(passthrough: bool, covis: float, device_kf: bool):
@@ -105,10 +123,8 @@ def main() -> None:
     print("[ab] building trackers + compiling...", flush=True)
     trackers = {}
     idx = {}
-    for name, pt, covis, dkf in legs:
-        os.environ.pop("SUPERSLAM_VO_NO_SMOOTHER", None)
-        if name.endswith("_nosmoother"):
-            os.environ["SUPERSLAM_VO_NO_SMOOTHER"] = "1"
+    for name, pt, covis, dkf, leg_env in legs:
+        _apply_leg_env(leg_env)
         t0 = time.time()
         tr = build_tracker(pt, covis, dkf)
         # Warm: compile the fused program + settle first keyframes.
@@ -119,17 +135,14 @@ def main() -> None:
         trackers[name] = tr
         idx[name] = 8
         print(f"[ab]   {name}: ready in {time.time() - t0:.0f}s", flush=True)
-    os.environ.pop("SUPERSLAM_VO_NO_SMOOTHER", None)
+    _apply_leg_env({})
 
     fps_acc = {name: [] for name, *_ in legs}
     prof_acc = {name: {} for name, *_ in legs}
     frames_acc = {name: 0 for name, *_ in legs}
     for rnd in range(args.rounds):
-        for name, pt, covis, dkf in legs:
-            if name.endswith("_nosmoother"):
-                os.environ["SUPERSLAM_VO_NO_SMOOTHER"] = "1"
-            else:
-                os.environ.pop("SUPERSLAM_VO_NO_SMOOTHER", None)
+        for name, pt, covis, dkf, leg_env in legs:
+            _apply_leg_env(leg_env)
             tr = trackers[name]
             i = idx[name]
             t_end = time.perf_counter() + args.settle
