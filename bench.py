@@ -135,7 +135,13 @@ def synth_sequence(n: int, seed: int = 0):
     if os.path.exists(cache):
         try:
             z = np.load(cache)
-            return [(z["left"][i], z["right"][i]) for i in range(n)]
+            # Materialize each compressed array exactly ONCE: indexing the
+            # NpzFile lazily re-decompresses the full (n, H, W) array per
+            # access, so the old per-frame z["left"][i] pattern paid 2n full
+            # decompressions and pinned 2n distinct 67 MB bases through the
+            # returned views (~19 GB RSS, ~10 min) before the bench started.
+            left, right = z["left"], z["right"]
+            return [(left[i], right[i]) for i in range(n)]
         except Exception:
             pass
     from superslam_tpu.eval.synthetic_sequence import (

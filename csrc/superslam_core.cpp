@@ -683,4 +683,42 @@ win_done:
   return it;
 }
 
+// Seed gate for the window smoother: triangulate every track ONCE at the
+// seed poses (the same win_triangulate the LM uses) and keep tracks whose
+// max per-view reprojection-error norm is under gate_px, with cheirality.
+// Native mirror of WindowSmoother._prefilter_groups (the numpy oracle) —
+// the gate is evaluated once and FROZEN for the solve by design (the LM is
+// then called with dyn_outlier_px = 0); see window_smoother.py for why the
+// GTSAM-style per-linearization re-gate was rejected. One deliberate
+// difference: a singular triangulation normal matrix marks that single
+// track keep=0, where the batched numpy path raises and re-gates per group.
+void ssl_window_seed_gate(const double* pose_seeds, int K,
+                          const int32_t* views, const double* meas,
+                          const int32_t* mlen, int L, int m_max, double fx,
+                          double fy, double cx, double cy, double baseline,
+                          double gate_px, uint8_t* keep_out) {
+  std::vector<Pose> poses(K);
+  for (int i = 0; i < K; ++i) poses[i] = pose_from(pose_seeds + 12 * i);
+  const WinCalib c{fx, fy, cx, cy, baseline, fx * baseline};
+  double X[3];
+  for (int l = 0; l < L; ++l) {
+    const int m = mlen[l];
+    const int32_t* vw = views + static_cast<size_t>(l) * m_max;
+    const double* ms = meas + static_cast<size_t>(l) * m_max * 3;
+    const bool ok = win_triangulate(poses, c, vw, ms, m, X);
+    double maxerr = 0;
+    if (ok) {
+      for (int v = 0; v < m; ++v) {
+        double p[3], r[3];
+        ssl::transform_to(poses[vw[v]], X, p);
+        const double zs = p[2] > kWinEps ? p[2] : 1.0;
+        win_residual(c, p, 1.0 / zs, ms + 3 * v, r);
+        const double nn = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+        if (nn > maxerr) maxerr = nn;
+      }
+    }
+    keep_out[l] = (ok && maxerr < gate_px) ? 1 : 0;
+  }
+}
+
 }  // extern "C"

@@ -207,15 +207,24 @@ class WindowSmoother:
         try:
             with profile_scope("ws_solve"):
                 for _round in range(n_rounds):
-                    fgroups = self._prefilter_groups(
-                        poses, groups, seed_gate
-                    )
+                    with profile_scope("ws_gate"):
+                        fgroups = self._prefilter_groups(
+                            poses, groups, seed_gate
+                        )
                     if not fgroups:
                         break
-                    result = self._solve_backend(
-                        poses, fgroups, sigma_px, prior_pose, prior_sigma,
-                        max_iters, huber_k,
-                    )
+                    if os.environ.get("SUPERSLAM_WS_DEBUG") == "1":
+                        _L = sum(v.shape[0] for v, _ in fgroups.values())
+                        print(
+                            f"[ws] K={K} L={_L} m_max={max(fgroups)} "
+                            f"iters={max_iters}",
+                            flush=True,
+                        )
+                    with profile_scope("ws_lm"):
+                        result = self._solve_backend(
+                            poses, fgroups, sigma_px, prior_pose, prior_sigma,
+                            max_iters, huber_k,
+                        )
                     if result is None:
                         break
                     # Divergence guards: non-finite / exploded
@@ -295,12 +304,12 @@ class WindowSmoother:
         if dyn_outlier_px <= 0:
             return groups
         try:
-            R, t = self._pose_arrays(poses)
             m_max = max(groups)
             L = sum(v.shape[0] for v, _ in groups.values())
             views = np.zeros((L, m_max), np.int64)
             meas = np.zeros((L, m_max, 3), np.float64)
             valid = np.zeros((L, m_max), bool)
+            mlen = np.zeros((L,), np.int32)
             offs: dict[int, tuple[int, int]] = {}
             r0 = 0
             for m, (v, x) in groups.items():
@@ -308,8 +317,29 @@ class WindowSmoother:
                 views[r0 : r0 + n, :m] = v
                 meas[r0 : r0 + n, :m] = x
                 valid[r0 : r0 + n, :m] = True
+                mlen[r0 : r0 + n] = m
                 offs[m] = (r0, n)
                 r0 += n
+            if os.environ.get("SUPERSLAM_NATIVE", "1") != "0":
+                # Hot path: the gate sits on the tracking drain at every
+                # keyframe insertion and the numpy batch below is 80-90% of
+                # ws_solve (15-40 ms vs ~3 ms for the native LM). Same
+                # frozen-at-seeds semantics, C++ (keep-set parity pinned by
+                # tests/test_native_core.py on random windows).
+                from .. import native
+
+                if native.available():
+                    keep_all = native.window_seed_gate(
+                        poses, views, meas, mlen, self.calib, dyn_outlier_px
+                    )
+                    out_nat: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+                    for m, (v, x) in groups.items():
+                        r0, n = offs[m]
+                        keep = keep_all[r0 : r0 + n]
+                        if keep.any():
+                            out_nat[m] = (v[keep], x[keep])
+                    return out_nat
+            R, t = self._pose_arrays(poses)
             X, ok = self._triangulate_padded(R, t, views, meas, valid)
             Rv, tv = R[views], t[views]
             p = np.einsum("lmji,lmj->lmi", Rv, X[:, None, :] - tv)

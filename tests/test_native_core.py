@@ -157,3 +157,65 @@ def test_window_lm_matches_python_smoother():
     # Both recover the ground truth to the noise floor.
     for p, tp in zip(nat, gt):
         assert np.linalg.norm(p.t - tp.t) < 0.05
+
+def test_window_seed_gate_matches_python():
+    """ssl_window_seed_gate vs the numpy _prefilter_groups oracle: exact
+    keep-set parity on an outlier-heavy window (~2/3 of tracks rejected),
+    including cheirality / broken-disparity / near-threshold cases. The
+    native gate sits on the tracking drain path at every keyframe insertion
+    (the numpy batch was 80-90% of ws_solve)."""
+    import os
+
+    from superslam_tpu.core.window_smoother import WindowSmoother
+    from superslam_tpu.geometry import Pose3, stereo_project
+
+    from helpers import make_calib
+
+    assert native.build()
+    rng = np.random.default_rng(7)
+    calib = make_calib()
+    poses = [
+        Pose3.expmap(
+            np.concatenate([rng.normal(0, 0.02, 3), [0.2 * k, 0, 0.05 * k]])
+        )
+        for k in range(8)
+    ]
+    lms = rng.uniform([-8, -5, 6], [8, 5, 28], size=(500, 3))
+    groups = {}
+    for m in (2, 3, 5, 8):
+        Lm = 150
+        views = np.sort(rng.integers(0, 8, (Lm, m)), axis=1)
+        sel = rng.choice(500, Lm)
+        meas = np.zeros((Lm, m, 3))
+        for i in range(Lm):
+            for j in range(m):
+                noise = (
+                    rng.normal(0, 0.5, 3)
+                    if rng.random() > 0.3
+                    else rng.normal(0, 12.0, 3)  # > gate outlier views
+                )
+                meas[i, j] = stereo_project(
+                    poses[views[i, j]], calib, lms[sel[i]]
+                ) + noise
+            if rng.random() < 0.05:  # broken first-view disparity
+                meas[i, 0, 1] = meas[i, 0, 0] + abs(rng.normal(0, 1))
+        groups[m] = (views, meas)
+
+    sm = WindowSmoother(calib, window_size=8)
+    ref = sm._prefilter_groups_ref(poses, groups, 6.0)
+    try:
+        os.environ["SUPERSLAM_NATIVE"] = "1"
+        fast = sm._prefilter_groups(poses, groups, 6.0)
+        os.environ["SUPERSLAM_NATIVE"] = "0"
+        slow = sm._prefilter_groups(poses, groups, 6.0)
+    finally:
+        os.environ.pop("SUPERSLAM_NATIVE", None)
+
+    assert set(fast) == set(slow) == set(ref)
+    rejected = 0
+    for m in groups:
+        for a, b in ((fast[m], slow[m]), (fast[m], ref[m])):
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+        rejected += groups[m][0].shape[0] - fast[m][0].shape[0]
+    assert rejected > 100  # the gate actually exercised rejection
