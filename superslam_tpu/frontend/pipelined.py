@@ -30,6 +30,7 @@ import numpy as np
 
 from ..core.vo_estimator import VoEstimator
 from ..geometry.se3 import Pose3
+from ..utils.env import env_flag
 from ..utils.profiler import profile_scope
 from .features import PaddedFeatures
 from .fused import FusedStereoPipeline
@@ -400,9 +401,23 @@ class PipelinedStereoTracker:
         if not used_kf_program and self.device_tracking and not self.device_kf:
             from ..ops.frontend_step import fused_stereo_track_step_multi
 
-            if self._carry is None or self._carry_stale:
-                self._carry = _pose_carry(self._last_pose, self._last_rel)
-                self._carry_stale = False
+            # Dispatch-frozen mode: re-anchor the device pose chain on HOST
+            # state at EVERY dispatch. Letting the carry ride dispatch-to-
+            # dispatch dead-reckons the device chain past every host-side
+            # correction (smoother refinements, coast rescues, re-matches) —
+            # the chains diverge, the in-program prediction gate starts
+            # biasing the keep-sets, and each adopted solve feeds the next
+            # dispatch's drifted carry. Measured on the rendered circuit
+            # (150 frames, trained stack, CPU): ATE 2.34 m with the riding
+            # carry vs 0.066 devkf / 0.068 host; 60-frame bisect: riding
+            # 0.53, host-reseed-every-dispatch 0.039, host-solve-everything
+            # (SUPERSLAM_DEVICE_POSE_ADOPT=0, forces per-frame host
+            # re-matches) 0.023. The reseed costs four tiny H2D uploads per
+            # dispatch and keeps the device solves adopted. The devkf
+            # program needs no such reseed: its carry re-anchors through the
+            # readback follow/rescue protocol (kf_epoch + _carry_stale).
+            self._carry = _pose_carry(self._last_pose, self._last_rel)
+            self._carry_stale = False
             packed, desc, kpts, valid, track_out, self._carry = (
                 fused_stereo_track_step_multi(
                     pl.sp_params,
@@ -506,7 +521,11 @@ class PipelinedStereoTracker:
             elif item.kf_ref_id is not None:
                 row = item.pose.result()[item.slot]
                 if row[12] >= self._trk_min_matches:
-                    device_pose = _decode_device_pose(row)
+                    # SUPERSLAM_DEVICE_POSE_ADOPT=0: bisect ablation — keep
+                    # the device MATCHES but host-solve every frame (isolates
+                    # the in-program f32 solve/adoption from the match path).
+                    if env_flag("SUPERSLAM_DEVICE_POSE_ADOPT", True):
+                        device_pose = _decode_device_pose(row)
                 else:
                     # In-program COAST (n < min_matches): the row is the
                     # device carry's dead-reckoned prediction, not a solve.

@@ -133,9 +133,12 @@ class PipelinedRgbdTracker:
         if self.device_tracking:
             from ..ops.rgbd_step import fused_rgbd_track_step_multi
 
-            if self._carry is None or self._carry_stale:
-                self._carry = _pose_carry(self._last_pose, self._last_rel)
-                self._carry_stale = False
+            # Dispatch-frozen chain: re-anchor on host state every dispatch
+            # (see frontend.pipelined — a riding carry dead-reckons past the
+            # host's corrections and the diverging prediction gate poisons
+            # the adopted solves; measured 2.34 m vs 0.039 on the circuit).
+            self._carry = _pose_carry(self._last_pose, self._last_rel)
+            self._carry_stale = False
             packed, desc, kpts, valid, track_out, self._carry = (
                 fused_rgbd_track_step_multi(
                     pl.sp_params,
